@@ -1,0 +1,173 @@
+"""The flagship batch job: pages -> extracted, salted, resumable, audited.
+
+Graft of the reference's serve/predict path (`pipeline.py:106-112`) plus its
+checkpoint/resume training discipline (`train/crnn.py:285-327`), restated for
+a 10^12-row table:
+
+* **Slices** — the input file set is split into S slices (file-level
+  assignment, so each slice job scans only its own files: no re-read
+  amplification).  A slice is the unit of commit, the analog of the
+  reference's periodic checkpoint interval (`val_interval`, config.yml:14).
+* **Salting** — within a slice, rows are shuffled by ``xxhash64(url)`` so a
+  hot host-domain cannot pin a partition (north_rule skew requirement).
+  ``xxhash64`` over full urls is near-uniform regardless of the zipf host
+  distribution.
+* **Manifests** — each committed slice writes `_manifests/slice-K.json` with
+  rows in/out, char counts, a url+sha checksum, input files, and wall time:
+  per-partition lineage + metric accumulators (north_rule), the analog of the
+  reference's per-interval logs (`train/crnn.py:285-327`).
+* **Resume** — a slice is committed iff its manifest exists; re-running skips
+  committed slices and overwrites partial output of uncommitted ones
+  (idempotent).  With an Iceberg catalog the same semantics come from
+  snapshot commits; the parquet+manifest sink keeps the contract identical
+  in jarless environments (SURVEY.md §7.4 fallback).
+
+Run: ``spark-submit --py-files dist/lightly_ocr_spark.zip -m`` or
+``python -m lightly_ocr_spark.jobs.extract_job --pages DIR --out DIR``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.operators.extract_udf import extract_pages
+from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+MANIFEST_DIR = "_manifests"
+
+
+def _input_files(pages_path: str) -> list[str]:
+    if os.path.isdir(pages_path):
+        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        files = [pages_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_path}")
+    return files
+
+
+def _slice_files(files: list[str], n_slices: int) -> list[list[str]]:
+    n_slices = max(1, min(n_slices, len(files)))
+    return [files[k::n_slices] for k in range(n_slices)]
+
+
+def run_extract(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    n_slices: int = 8,
+    resume: bool = True,
+    salt_partitions: int | None = None,
+) -> dict:
+    """Run the extraction over all uncommitted slices; return job summary."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    slices = _slice_files(_input_files(pages_path), n_slices)
+    if salt_partitions is None:
+        salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    summary = {"slices": len(slices), "skipped": 0, "run": 0, "rows_out": 0,
+               "wall_s": 0.0}
+    t_job = time.time()
+    for k, files in enumerate(slices):
+        manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"slice-{k}.json")
+        if resume and os.path.exists(manifest_path):
+            summary["skipped"] += 1
+            continue
+        t0 = time.time()
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
+        # skew salting: spread any hot host across all partitions (north_rule)
+        salted = pages.repartition(salt_partitions, F.xxhash64("url"))
+        obs = Observation(f"slice-{k}")
+        extracted = extract_pages(salted).observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.sum((F.length("text") == 0).cast("long")).alias("empty_docs"),
+            F.sum(F.crc32(F.concat("url", "extract_sha256"))).alias("checksum"),
+        )
+        slice_out = os.path.join(out_dir, f"slice={k}")
+        extracted.write.mode("overwrite").parquet(slice_out)
+        m = obs.get
+        manifest = {
+            "slice": k,
+            "input_files": files,
+            "rows_out": m["rows_out"],
+            "text_chars": int(m["text_chars"] or 0),
+            "empty_docs": int(m["empty_docs"] or 0),
+            "checksum": int(m["checksum"] or 0),
+            "salt_partitions": salt_partitions,
+            "wall_s": round(time.time() - t0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        # commit point: manifest written only after the parquet write succeeds
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, manifest_path)
+        summary["run"] += 1
+        summary["rows_out"] += m["rows_out"]
+    summary["wall_s"] = round(time.time() - t_job, 3)
+    return summary
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(*sorted(glob.glob(os.path.join(out_dir, "slice=*"))))
+
+
+def verify_extracted(
+    spark: SparkSession, pages_path: str, out_dir: str
+) -> dict:
+    """Golden check (J1/J2 + A2): every url present exactly once, text
+    byte-identical to the pages.text golden column."""
+    golden = spark.read.schema(PAGES_SCHEMA).parquet(
+        *_input_files(pages_path)
+    ).select("url", F.col("text").alias("golden_text"))
+    got = read_extracted(spark, out_dir).select("url", "text")
+    joined = got.join(golden, "url", "inner")
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("joined"),
+        F.sum((F.col("text") == F.col("golden_text")).cast("long")).alias("matched"),
+    ).collect()[0]
+    missing = golden.join(got, "url", "left_anti").count()  # J2 coverage
+    dupes = got.groupBy("url").count().filter("count > 1").count()
+    return {
+        "joined": stats["joined"],
+        "matched": stats["matched"],
+        "missing": missing,
+        "duplicate_urls": dupes,
+        "byte_identical": stats["joined"] == stats["matched"] and missing == 0
+        and dupes == 0,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    from lightly_ocr_spark.plans.session import build_session
+
+    spark = build_session("extract-job", cores=args.cores)
+    summary = run_extract(
+        spark, args.pages, args.out, n_slices=args.slices,
+        resume=not args.no_resume,
+    )
+    if args.verify:
+        summary["verify"] = verify_extracted(spark, args.pages, args.out)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Spark operator for the fused extraction pass.
+
+One `mapInPandas` stage carries the whole detect+recognize pipeline
+(D1-D11 + R1-R11) per Arrow batch — the graft of the reference's fused
+detector→recognizer chain executed with no intermediate materialization
+(`pipeline.py:65-87`).  Keeping it a single Python stage means exactly one
+JVM↔Python Arrow round-trip per batch (the CPU↔GPU copy analog,
+`net.py:79,105`).
+
+Span arrays come back as three parallel primitive arrays and are zipped into
+`array<struct<start,end,score>>` JVM-side (`arrays_zip` is codegen'd), so no
+nested structs cross the Arrow boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.functions.extract import extract_batch
+from lightly_ocr_spark.schemas import EXTRACT_RAW_SCHEMA
+
+
+def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = extract_batch(pdf["html"])
+        out.insert(0, "url", pdf["url"].to_numpy())
+        out.insert(1, "warc_ts", pdf["warc_ts"].to_numpy())
+        yield out
+
+
+def extract_pages(pages: DataFrame, keep_empty: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> extracted table (EXTRACTED_SCHEMA).
+
+    Column pruning: only (url, warc_ts, html) are shipped to Python — the
+    parquet scan never reads the golden `text`/`lang` columns.
+    """
+    raw = pages.select("url", "warc_ts", "html").mapInPandas(
+        _extract_partition, schema=EXTRACT_RAW_SCHEMA
+    )
+    out = raw.select(
+        "url",
+        "warc_ts",
+        "text",
+        F.arrays_zip(
+            F.col("span_starts").alias("start"),
+            F.col("span_ends").alias("end"),
+            F.col("span_scores").alias("score"),
+        ).alias("spans"),
+        "n_blocks",
+        "extract_sha256",
+        F.spark_partition_id().alias("part_id"),
+    )
+    if not keep_empty:
+        out = out.filter(F.length("text") > 0)
+    return out

@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The graft of the reference's pipeline assembly (`pipeline.py:47-62`
+``prepModel``): one place that fixes execution knobs instead of model
+choices.  All settings are plain public Spark configuration:
+
+* AQE on (runtime re-plan, skew-join splitting) — the analog of the
+  reference's shape-adaptive resize (`imgproc.py:38-65`);
+* Arrow enabled with a bounded batch size — the collate/batch analog
+  (`dataset.py:68-101`, batch 64);
+* shuffle partitions sized to cores for local runs — on a real cluster pass
+  ``spark.sql.shuffle.partitions`` ≈ 2-3× total executor cores via
+  ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 1024  # docs per Arrow batch into the Python workers
+
+
+def build_session(
+    app_name: str = "lightly-ocr-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) the canonical session.
+
+    ``cores=None`` uses ``local[*]``; an int pins ``local[N]`` — the
+    two-parallelism scaling protocol (BASELINE.md §3) relies on this.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+        n_cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+    sp = shuffle_partitions if shuffle_partitions is not None else max(n_cores, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n_cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

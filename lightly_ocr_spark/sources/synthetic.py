@@ -193,3 +193,53 @@ def pages_pandas(n: int, seed: int = SEED):
 
     rows = list(gen_pages(n, seed))
     return pd.DataFrame(rows)
+
+
+def write_pages_parquet(
+    out_dir: str, n: int, files: int = 8, seed: int = SEED
+) -> int:
+    """Materialize the corpus as a directory of parquet files (the batched
+    KV-sink analog, `generator.py:74-87`; multi-file so the extraction job's
+    file-level slices have real work units)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = [n // files + (1 if k < n % files else 0) for k in range(files)]
+    it = gen_pages(n, seed)
+    written = 0
+    for k, cnt in enumerate(per):
+        rows = [r for _, r in zip(range(cnt), it)]
+        if not rows:
+            continue
+        pdf = pd.DataFrame(rows)
+        pdf["warc_ts"] = (
+            pd.to_datetime(pdf["warc_ts"], utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[us]")  # Spark reads timestamp as µs INT64
+        )
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{k:05d}.parquet"))
+        written += len(rows)
+    return written
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="write synthetic pages corpus")
+    ap.add_argument("--n", type=int, default=10000)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=SEED)
+    args = ap.parse_args()
+    rows = write_pages_parquet(args.out, args.n, args.files, args.seed)
+    print(json.dumps({"rows": rows, "out": args.out, "files": args.files}))
+
+
+if __name__ == "__main__":
+    main()

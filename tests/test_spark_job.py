@@ -1,0 +1,110 @@
+"""End-to-end Spark tests: golden byte-identity through the real job,
+resume idempotence (S9), and salting vs host-domain skew (SURVEY.md §5.4-5.5).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.jobs.extract_job import (
+    read_extracted,
+    run_extract,
+    verify_extracted,
+)
+
+pytestmark = pytest.mark.spark
+
+
+class TestExtractJob:
+    def test_end_to_end_byte_identity(self, spark, pages_dir, out_dir):
+        summary = run_extract(spark, pages_dir, out_dir, n_slices=3)
+        assert summary["run"] == 3 and summary["rows_out"] == 1500
+        v = verify_extracted(spark, pages_dir, out_dir)
+        assert v["byte_identical"], v
+
+        # schema contract (EXTRACTED_SCHEMA)
+        ext = read_extracted(spark, out_dir)
+        names = [f.name for f in ext.schema.fields]
+        assert names == ["url", "warc_ts", "text", "spans", "n_blocks",
+                         "extract_sha256", "part_id"]
+        spans_t = ext.schema["spans"].dataType.simpleString()
+        assert spans_t == "array<struct<start:bigint,end:bigint,score:double>>"
+
+    def test_sha256_column_matches_jvm_sha2(self, spark, pages_dir, out_dir):
+        run_extract(spark, pages_dir, out_dir, n_slices=2)
+        ext = read_extracted(spark, out_dir)
+        bad = ext.filter(
+            F.sha2(F.col("text"), 256) != F.col("extract_sha256")
+        ).count()
+        assert bad == 0
+
+    def test_resume_skips_committed_and_repairs_partial(
+        self, spark, pages_dir, out_dir
+    ):
+        run_extract(spark, pages_dir, out_dir, n_slices=3)
+        # simulate a crash after slice-1's data write but before its commit:
+        # drop the manifest and corrupt the slice dir
+        man = os.path.join(out_dir, "_manifests", "slice-1.json")
+        os.remove(man)
+        shutil.rmtree(os.path.join(out_dir, "slice=1"))
+        os.makedirs(os.path.join(out_dir, "slice=1"))
+
+        summary = run_extract(spark, pages_dir, out_dir, n_slices=3)
+        assert summary["skipped"] == 2 and summary["run"] == 1
+        v = verify_extracted(spark, pages_dir, out_dir)
+        assert v["byte_identical"], v  # no dupes, no omissions
+
+        # third run: everything committed, nothing executes
+        summary = run_extract(spark, pages_dir, out_dir, n_slices=3)
+        assert summary["skipped"] == 3 and summary["run"] == 0
+
+    def test_manifests_lineage(self, spark, pages_dir, out_dir):
+        run_extract(spark, pages_dir, out_dir, n_slices=3)
+        manifests = sorted(
+            glob.glob(os.path.join(out_dir, "_manifests", "*.json"))
+        )
+        assert len(manifests) == 3
+        seen_files = []
+        total = 0
+        for p in manifests:
+            m = json.load(open(p))
+            assert m["rows_out"] > 0 and m["checksum"] > 0
+            seen_files += m["input_files"]
+            total += m["rows_out"]
+        # lineage covers every input file exactly once
+        assert sorted(seen_files) == sorted(
+            glob.glob(os.path.join(pages_dir, "*.parquet"))
+        )
+        assert total == 1500
+
+
+class TestSkewSalting:
+    def test_url_hash_salting_bounds_partition_skew(self, spark, pages_dir):
+        """Zipf hosts (a≈1.3, top host ~24% of rows) must NOT translate into
+        partition skew once salted by xxhash64(url) (north_rule)."""
+        pages = spark.read.parquet(pages_dir)
+        n_part = 8
+        salted = pages.repartition(n_part, F.xxhash64("url"))
+        sizes = (
+            salted.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        )
+        counts = [r["count"] for r in sizes]
+        assert len(counts) == n_part
+        ratio = max(counts) / (sum(counts) / len(counts))
+        assert ratio < 1.35, counts  # near-uniform despite host zipf
+
+        # contrast: partitioning by host IS skewed (sanity of the fixture)
+        host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+        by_host = pages.repartition(n_part, host)
+        hcounts = [
+            r["count"]
+            for r in by_host.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        ]
+        hratio = max(hcounts) / (sum(hcounts) / len(hcounts))
+        assert hratio > ratio  # salting strictly improves balance
