@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction on sf0.001; `queries()` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators: dedup, similarity, text analysis);
+`oracle_sql()` gives the DuckDB-equivalent SQL for every SQL-expressible
+entry.  Non-SQL-expressible ops (minhash/simhash/LSH: hash functions are
+engine-specific) are rows-only here and covered by pytest instead.
 """
 
 from __future__ import annotations
@@ -13,26 +14,261 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over pages built from sf0.001
+    documents (schema: url, text, extract_sha256)."""
+    from lightly_ocr_spark.operators.extract_udf import extract_documents_query
+
+    return extract_documents_query(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lightly_ocr_spark.operators import dedup, similarity, textstats
+    from lightly_ocr_spark.operators.extract_udf import extract_documents_query
+    from lightly_ocr_spark.plans import relational as R
+    from lightly_ocr_spark.streaming.file_stream import streaming_event_counts
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # scans / filters / projections (S5, F1-F7)
+        "f1_length_filter": R.f1_length_filter,
+        "f2_charset_predicate": R.f2_charset_predicate,
+        "f3_charset_scrub": R.f3_charset_scrub,
+        "f4_confidence_threshold": R.f4_confidence_threshold,
+        "f7_validity_filter": R.f7_validity_filter,
+        "s5_scan_projection": R.s5_scan_projection,
+        "s10_ddl_roundtrip": R.s10_ddl_roundtrip,
+        # aggregates (A1-A7)
+        "a1_streaming_mean": R.a1_streaming_mean,
+        "a2_exact_match_accuracy": R.a2_exact_match_accuracy,
+        "a3_running_max": R.a3_running_max,
+        "a4_count_sum": R.a4_count_sum,
+        "a5_edit_distance": R.a5_edit_distance,
+        "a6_confidence_product": R.a6_confidence_product,
+        "a7_group_collect": R.a7_group_collect,
+        # joins / sets / windows / sort (J1-J3, W1, T1, U1, D10)
+        "j1_broadcast_join": R.j1_broadcast_join,
+        "j2_anti_join": R.j2_anti_join,
+        "j3_semi_join": R.j3_semi_join,
+        "w1_window_topk": R.w1_window_topk,
+        "t1_sort_limit": R.t1_sort_limit,
+        "u1_union_distinct": R.u1_union_distinct,
+        "d10_reading_order": R.d10_reading_order,
+        "tpch_q1": R.tpch_q1,
+        # scalar function surface (§2.7)
+        "fn_scalar_surface": R.fn_scalar_surface,
+        # text analysis
+        "ta_token_count": textstats.token_count,
+        "ta_quality_score": textstats.quality_score,
+        "ta_lang_id": textstats.lang_id,
+        "ta_fingerprint": textstats.fingerprint,
+        # dedup
+        "dd_exact": dedup.exact_dups,
+        "dd_jaccard_words": dedup.jaccard_pairs,
+        "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
+        "dd_simhash": dedup.simhash_fingerprints,        # rows-only
+        # similarity search
+        "sim_cosine_topk": similarity.cosine_topk,
+        "sim_lsh_topk": similarity.lsh_topk,             # rows-only
+        # streaming
+        "st1_streaming_counts": streaming_event_counts,
+        # flagship extraction (engine UDF with SQL-predictable oracle)
+        "ex_extract_documents": extract_documents_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ql = {}
+    ql["f1_length_filter"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars <= 250"
+    )
+    ql["f2_charset_predicate"] = (
+        "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '[^a-z ]')"
+    )
+    ql["f3_charset_scrub"] = (
+        "SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS scrubbed "
+        "FROM documents"
+    )
+    ql["f4_confidence_threshold"] = (
+        "SELECT event_id, user_id, value FROM events WHERE value > 0.7"
+    )
+    ql["f7_validity_filter"] = (
+        "SELECT source, count(*) AS n_valid FROM documents "
+        "WHERE text IS NOT NULL AND length(text) > 0 GROUP BY source"
+    )
+    ql["s5_scan_projection"] = (
+        "SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total_price "
+        "FROM lineitem WHERE l_shipdate < DATE '1996-01-01'"
+    )
+    ql["s10_ddl_roundtrip"] = (
+        "SELECT n_regionkey, count(*) AS n FROM nation "
+        "WHERE n_regionkey >= 2 GROUP BY n_regionkey"
+    )
+    ql["a1_streaming_mean"] = (
+        "SELECT event_type, round(avg(value), 6) AS avg_value "
+        "FROM events GROUP BY event_type"
+    )
+    ql["a2_exact_match_accuracy"] = (
+        "SELECT lang, round(avg(CASE WHEN n_chars > 200 THEN 1.0 ELSE 0.0 END)"
+        " * 100.0, 6) AS accuracy_pct FROM documents GROUP BY lang"
+    )
+    ql["a3_running_max"] = (
+        "SELECT user_id, round(max(value), 6) AS best_value "
+        "FROM events GROUP BY user_id"
+    )
+    ql["a4_count_sum"] = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY event_type"
+    )
+    ql["a5_edit_distance"] = (
+        "SELECT doc_id, CAST(levenshtein(substr(text, 1, 12), "
+        "substr(text, 13, 12)) AS INTEGER) AS edit_dist FROM documents"
+    )
+    ql["a6_confidence_product"] = (
+        "SELECT vec_id, CAST(product(CAST(floor(CAST(e AS DOUBLE) * 10) + 12 "
+        "AS BIGINT)) AS BIGINT) AS conf_prod FROM "
+        "(SELECT vec_id, unnest(embedding[1:8]) AS e FROM embeddings) "
+        "GROUP BY vec_id"
+    )
+    ql["a7_group_collect"] = (
+        "SELECT user_id, list_sort(list(event_id)) AS event_ids "
+        "FROM events GROUP BY user_id"
+    )
+    ql["j1_broadcast_join"] = (
+        "SELECT o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*) AS n_items FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    )
+    ql["j2_anti_join"] = (
+        "SELECT c_custkey, c_mktsegment FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+    ql["j3_semi_join"] = (
+        "SELECT c_mktsegment, count(*) AS n_active FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        " GROUP BY c_mktsegment"
+    )
+    ql["w1_window_topk"] = (
+        "SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM "
+        "(SELECT user_id, event_id, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn <= 3"
+    )
+    ql["t1_sort_limit"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    )
+    ql["u1_union_distinct"] = (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "UNION SELECT s_nationkey AS nationkey FROM supplier"
+    )
+    ql["d10_reading_order"] = (
+        "SELECT user_id, event_id, ts FROM "
+        "(SELECT user_id, event_id, ts, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn = 1"
+    )
+    ql["tpch_q1"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    ql["fn_scalar_surface"] = (
+        "SELECT doc_id, lower(substr(text, 1, 20)) AS lowered, "
+        "translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS translated, "
+        "concat_ws('|', lang, source) AS tagged, "
+        "sha256(text) AS sha, md5(text) AS fp_md5 "
+        "FROM documents WHERE doc_id < 100"
+    )
+    ql["ta_token_count"] = (
+        "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+        "AS n_tokens, "
+        "CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_subword_est "
+        "FROM documents"
+    )
+    ql["ta_quality_score"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs, "
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+        " AS BIGINT) AS n_punct, "
+        "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 "
+        "AS BIGINT) AS n_stop_the, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) "
+        "AS n_spaces, "
+        "CAST(length(text) >= 200 AS INTEGER) AS len_ok FROM documents"
+    )
+    ql["ta_lang_id"] = (
+        "WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s "
+        "FROM documents), c AS (SELECT doc_id, "
+        "CAST((length(s) - length(replace(s, ' the ', ''))) / 5 AS BIGINT) AS n_en, "
+        "CAST((length(s) - length(replace(s, ' la ', ''))) / 4 AS BIGINT) AS n_fr, "
+        "CAST((length(s) - length(replace(s, ' el ', ''))) / 4 AS BIGINT) AS n_es, "
+        "CAST((length(s) - length(replace(s, ' der ', ''))) / 5 AS BIGINT) AS n_de "
+        "FROM t) SELECT doc_id, n_en, n_fr, n_es, n_de, "
+        "CASE WHEN greatest(n_en, n_fr, n_es, n_de) = 0 THEN 'und' "
+        "WHEN n_en = greatest(n_en, n_fr, n_es, n_de) THEN 'en' "
+        "WHEN n_fr = greatest(n_en, n_fr, n_es, n_de) THEN 'fr' "
+        "WHEN n_es = greatest(n_en, n_fr, n_es, n_de) THEN 'es' "
+        "ELSE 'de' END AS pred_lang FROM c"
+    )
+    ql["ta_fingerprint"] = (
+        "SELECT doc_id, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5, "
+        "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fp_sha256 FROM documents"
+    )
+    ql["dd_exact"] = (
+        "WITH doubled AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id, text FROM documents WHERE doc_id < 50) "
+        "SELECT md5(text) AS content_md5, count(*) AS n_copies, "
+        "min(doc_id) AS keeper FROM doubled GROUP BY 1 HAVING count(*) > 1"
+    )
+    ql["dd_jaccard_words"] = (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+        "FROM documents WHERE doc_id < 150) WHERE length(tok) > 0), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS inter FROM toks a JOIN toks b ON a.tok = b.tok "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE inter * 100 >= 80 * (sa.sz + sb.sz - inter)"
+    )
+    ql["st1_streaming_counts"] = (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+    ql["ex_extract_documents"] = (
+        "WITH base AS (SELECT doc_id, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed "
+        "FROM documents WHERE NOT regexp_matches(text, '[^ -~]')) "
+        "SELECT 'doc://' || doc_id AS url, collapsed AS text, "
+        "sha256(collapsed) AS extract_sha256 FROM base "
+        "WHERE len(string_split(collapsed, ' ')) >= 8 "
+        "AND length(collapsed) >= 10"
+    )
+    # rows-only (engine-specific hash functions, no portable SQL form):
+    #   dd_minhash_pairs, dd_simhash, sim_lsh_topk, sim_cosine_topk*
+    ql["sim_cosine_topk"] = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "sims AS (SELECT e.vec_id, "
+        "list_sum(list_transform(list_zip(e.embedding, q.qe), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(e.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(q.qe, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos "
+        "FROM embeddings e, q WHERE e.vec_id <> 0) "
+        "SELECT vec_id, round(cos, 6) AS cosine_sim FROM sims "
+        "ORDER BY cos DESC, vec_id ASC LIMIT 10"
+    )
+    return ql

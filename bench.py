@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line.  The headline metric is extraction throughput (docs/sec) over the
+deterministic synthetic pages corpus (cached under .bench/), matching
+BASELINE.json's metric; per-query wall times for the operator suite are in
+``queries``.
+
+Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_PAGES (corpus size, default 100000)]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERY_NAMES = [
+    "tpch_q1",
+    "j1_broadcast_join",
+    "w1_window_topk",
+    "a6_confidence_product",
+    "ta_quality_score",
+    "ta_lang_id",
+    "dd_exact",
+    "dd_minhash_pairs",
+    "sim_cosine_topk",
+    "ex_extract_documents",
+]
+
+
+def ensure_bench_pages(n: int) -> str:
+    """Cache the synthetic corpus (no golden column — generation speed)."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench", f"pages_{n}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from lightly_ocr_spark.sources.bench_corpus import write_bench_pages
+
+        write_bench_pages(d, n, files=32)
+        open(marker, "w").write("ok")
+    return d
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
+
+    import __spark_entry__ as entrymod
+    from lightly_ocr_spark.operators.extract_udf import extract_pages
+    from lightly_ocr_spark.plans.session import build_session
+
+    pages_dir = ensure_bench_pages(n_pages)
+
+    spark = build_session("bench", cores=cpus, shuffle_partitions=cpus)
+    from pyspark.sql import functions as F
+
+    t_all = time.time()
+
+    # --- headline: extraction throughput (docs/sec) ---------------------
+    pages = spark.read.parquet(pages_dir)
+    # warm-up: JVM + Python workers + code paths (excluded from timing)
+    extract_pages(pages.limit(2048)).agg(F.count("*")).collect()
+    t0 = time.time()
+    ext = extract_pages(pages.repartition(cpus * 2, F.xxhash64("url")))
+    row = ext.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    extract_wall = time.time() - t0
+    docs_per_sec = row["n"] / extract_wall
+
+    # --- operator suite --------------------------------------------------
+    qtimes: dict[str, float] = {"extract_synthetic": round(extract_wall, 3)}
+    qs = entrymod.queries()
+    for name in BENCH_QUERY_NAMES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "extract_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "cores": cpus,
+        "extract_docs": row["n"],
+        "extract_chars": int(row["chars"] or 0),
+        "total_wall_s": round(time.time() - t_all, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Deduplication operators for web-scale corpora.
+
+All variants are expressed as DataFrame plans (one or two shuffles, no
+Python row loops):
+
+* exact     — hash-groupBy on a content fingerprint; one shuffle.
+* jaccard   — token-set overlap via explode + self-equi-join on token; the
+              join key is the token so Catalyst/AQE handle skew; intended
+              for candidate *verification*, not all-pairs at scale.
+* minhash   — k independent min-hashes (xxhash64 salted per seed) banded
+              into LSH buckets; candidate pairs only ever materialize within
+              a bucket, which is the scale path for 10^12 docs.
+* simhash   — 64-bit sign-vote fingerprint; near-dups differ in few bits.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.plans.relational import load
+
+MINHASH_K = 32          # signature length
+MINHASH_BANDS = 8       # 8 bands x 4 rows
+SIM_BITS = 64
+
+
+def _tokens(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc -> distinct lowercase whitespace tokens (exploded)."""
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+
+
+def exact_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: groups with >1 identical text; keeper = min doc_id.
+    (Input doubled on doc_id<50 so duplicate groups actually exist.)"""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.filter(F.col("doc_id") < 50))
+    return (
+        doubled.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def jaccard_pairs(spark: SparkSession, sf: str, max_id: int = 150,
+                  threshold: float = 0.8) -> DataFrame:
+    """N-gram (unigram) Jaccard near-dup pairs among doc_id < max_id.
+
+    |A∩B| via token equi-join, |A|,|B| via counts; jaccard kept in exact
+    integer form: inter * 100 >= threshold*100 * (|A|+|B|-inter)."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < max_id)
+    toks = _tokens(d).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    thr = int(round(threshold * 100))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .filter(
+            F.col("inter") * 100
+            >= thr * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> k-column minhash signature (one shuffle: groupBy doc_id)."""
+    toks = _tokens(df)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_pairs(
+    spark: SparkSession, sf: str,
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band-hash bucket join, pairs within
+    buckets only (the 10^12-scale dedup path).  Input doubled on doc_id<50
+    so true duplicate pairs exist."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    sig = minhash_signatures(doubled, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    x = stacked.alias("x")
+    y = stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """doc_id -> 64-bit SimHash: per-bit sign votes over token hashes."""
+    toks = _tokens(df).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(SIM_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(SIM_BITS)
+    ]
+    return per_doc.select(
+        "doc_id", reduce(lambda a, b: a.bitwiseOR(b), bit_terms).alias("simhash")
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(load(spark, sf, "documents").select("doc_id", "text"))

@@ -57,3 +57,39 @@ def extract_pages(pages: DataFrame, keep_empty: bool = True) -> DataFrame:
     if not keep_empty:
         out = out.filter(F.length("text") > 0)
     return out
+
+
+def documents_as_pages(spark, sf_dir: str) -> DataFrame:
+    """Wrap the driver `documents` table into pages rows (deterministic HTML
+    template), restricted so the expected extraction is SQL-predictable:
+    ASCII-printable text, >= 8 words, >= 10 chars after collapse."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    d = d.filter(
+        ~F.col("text").rlike("[^ -~]")
+        & (F.size(F.split(collapsed, " ")) >= 8)
+        & (F.length(collapsed) >= 10)
+    )
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), esc, F.lit("</p></body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def extract_documents_query(spark, sf_dir: str) -> DataFrame:
+    """Flagship extraction with a SQL oracle: for a single dense ASCII
+    paragraph the contract reduces to whitespace collapse, so DuckDB can
+    predict the engine's output (and its sha256) exactly."""
+    pages = documents_as_pages(spark, sf_dir)
+    return extract_pages(pages).select("url", "text", "extract_sha256")

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* brute-force cosine top-k — the exact baseline; dot products computed with
+  `zip_with` + `aggregate` (JVM-side fold, no Python).
+* LSH (random hyperplane) bucketing — the scale path: sign-bit bucket key,
+  candidates restricted to the query's bucket; planes are deterministic
+  driver-side constants (seeded), broadcast inside the plan as literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.plans.relational import load
+
+PLANES_SEED = 4420
+N_TABLES = 8       # L independent hash tables
+BITS_PER_TABLE = 4  # bucket key width per table (tune up with corpus size)
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _query_vec(spark: SparkSession, sf: str, vec_id: int = 0):
+    row = (
+        load(spark, sf, "embeddings").filter(F.col("vec_id") == vec_id)
+        .select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def cosine_topk(
+    spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs a query vector (rank ties broken by
+    vec_id; similarity rounded for cross-engine comparison)."""
+    q = _query_vec(spark, sf, vec_id)
+    qcol = F.array(*[F.lit(v) for v in q])
+    e = load(spark, sf, "embeddings")
+    sims = e.select(
+        "vec_id",
+        (_dot(F.col("embedding"), qcol)
+         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+    )
+    return (
+        sims.filter(F.col("vec_id") != vec_id)
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
+def _planes(n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE,
+            dim: int = DIM, seed: int = PLANES_SEED):
+    """n_tables * bits hyperplanes, deterministic."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_table_bucket(emb_col, table_planes) -> F.Column:
+    """Sign-bit bucket key for one table (JVM expression only)."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(table_planes):
+        pc = F.array(*[F.lit(v) for v in p])
+        out = out.bitwiseOR(
+            F.when(_dot(emb_col, pc) >= 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def lsh_buckets(df: DataFrame, planes=None) -> DataFrame:
+    """vec table: add `buckets: array<long>` (one key per hash table).
+
+    At 10^12 scale this is precomputed once and the exploded
+    (table, bucket) -> vec index is the partitioned ANN index; queries touch
+    only their L buckets."""
+    planes = planes or _planes()
+    return df.withColumn(
+        "buckets",
+        F.array(*[
+            lsh_table_bucket(F.col("embedding"), tp) for tp in planes
+        ]),
+    )
+
+
+def lsh_topk(
+    spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """ANN: multi-table random-hyperplane LSH — candidates are the union of
+    the query's bucket across L tables, exact cosine rerank on candidates
+    only.  Same output schema as `cosine_topk`; recall/scan tradeoff is
+    (N_TABLES, BITS_PER_TABLE)."""
+    planes = _planes()
+    e = lsh_buckets(load(spark, sf, "embeddings"), planes)
+    qrow = e.filter(F.col("vec_id") == vec_id).select(
+        "embedding", "buckets"
+    ).first()
+    q = [float(x) for x in qrow["embedding"]]
+    qcol = F.array(*[F.lit(v) for v in q])
+    qbuckets = list(qrow["buckets"])
+    match_any = None
+    for t, qb in enumerate(qbuckets):
+        cond = F.col("buckets")[t] == F.lit(int(qb))
+        match_any = cond if match_any is None else (match_any | cond)
+    cand = e.filter(match_any & (F.col("vec_id") != vec_id))
+    sims = cand.select(
+        "vec_id",
+        (_dot(F.col("embedding"), qcol)
+         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cosine_sim"))
+    )

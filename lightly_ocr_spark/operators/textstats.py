@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+All JVM-side (`pyspark.sql.functions` only — whole-stage codegen'd, no
+Python in the hot path).  Counting tricks stay in integer domain so the
+DuckDB oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.plans.relational import load
+
+# language markers: (lang, stopword with flanking spaces)
+LANG_MARKERS = [
+    ("en", " the "),
+    ("fr", " la "),
+    ("es", " el "),
+    ("de", " der "),
+]
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Exact substring-occurrence count via length arithmetic (portable to
+    any SQL engine, integer-exact)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (chars/4 ceil)."""
+    d = load(spark, sf, "documents")
+    txt = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.ceil(F.length(txt) / 4).cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Length / punctuation / stopword signals, integer-exact."""
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    ).cast("long")
+    n_the = _occurrences(t, " the ")
+    n_space = _occurrences(t, " ")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_obs"),
+        n_punct.alias("n_punct"),
+        n_the.alias("n_stop_the"),
+        n_space.alias("n_spaces"),
+        (F.length(t) >= 200).cast("int").alias("len_ok"),
+    )
+
+
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-count language ID (n-gram heuristic; ties resolve in fixed
+    marker order)."""
+    d = load(spark, sf, "documents")
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    # flat projection first: keeps the Catalyst expression tree shallow
+    # (nesting the counts inside the CASE chain made analysis+codegen slow)
+    counted = d.select(
+        "doc_id",
+        *[_occurrences(t, mk).alias(f"n_{lang}") for lang, mk in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"n_{lang}") for lang, _ in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):  # earlier markers win ties
+        pred = F.when(
+            (best > 0) & (F.col(f"n_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return counted.select(
+        "doc_id",
+        *[F.col(f"n_{lang}") for lang, _ in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 + sha256 over whitespace-normalized text
+    (rolling-hash analog in fixed-width form)."""
+    d = load(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+    )

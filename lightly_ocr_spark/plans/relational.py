@@ -1,0 +1,294 @@
+"""Relational operator surface (SURVEY.md §2) over the driver testdata.
+
+Each function is one named operator from the inventory: filters F1-F10,
+aggregates A1-A7, joins J1-J3, window W1, sort/limit T1, union U1, scalar
+functions §2.7 — expressed declaratively (DataFrame/SQL) so Catalyst gets
+pushdown/pruning/broadcast for free (SURVEY.md §4).  Every computed column is
+aliased to match the DuckDB oracle SQL in `__spark_entry__.oracle_sql`.
+
+Float discipline: any aggregate that *computes* over doubles is rounded to a
+fixed scale in BOTH engines; anything used for exact hash equality is kept in
+integer/string domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- filters / projections -------------------------------------------------
+
+def f1_length_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: length predicate (dataset.py:149-150 analog)."""
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("n_chars") <= 250)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def f2_charset_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    """F2: charset row filter (dataset.py:151-154)."""
+    return (
+        load(spark, sf, "documents")
+        .filter(~F.col("text").rlike("[^a-z ]"))
+        .select("doc_id")
+    )
+
+
+def f3_charset_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """F3: charset projection scrub (dataset.py:190-191)."""
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", "[aeiou]", "").alias("scrubbed"),
+    )
+
+
+def f4_confidence_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """F4: score threshold keep > 0.7 (pipeline.py:106-112)."""
+    return (
+        load(spark, sf, "events")
+        .filter(F.col("value") > 0.7)
+        .select("event_id", "user_id", "value")
+    )
+
+
+def f7_validity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F7: validity filter + per-source counts (generator.py:64-72)."""
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_valid"))
+    )
+
+
+# --- aggregates -------------------------------------------------------------
+
+def a1_streaming_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: Averager (recog_utils.py:122-142) -> avg per group."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def a2_exact_match_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: exact-match accuracy style metric (train/crnn.py:222-235)."""
+    return (
+        load(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.avg((F.col("n_chars") > 200).cast("double")) * 100.0, 6
+            ).alias("accuracy_pct")
+        )
+    )
+
+
+def a3_running_max(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: best-so-far gate (train/crnn.py:300-303)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.max("value"), 6).alias("best_value"))
+    )
+
+
+def a4_count_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: counters (train/crnn.py:175-176)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def a5_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: Levenshtein (recog_utils.py:148-166) via the JVM builtin."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("text", 1, 12), F.substring("text", 13, 12)
+        ).alias("edit_dist"),
+    )
+
+
+def a6_confidence_product(spark: SparkSession, sf: str) -> DataFrame:
+    """A6/R10: product-reduce over an array (net.py:190 cumprod analog).
+
+    Integer-domain product so the DuckDB comparison is exact: each of the
+    first 8 embedding dims maps to floor(x*10)+12 in [2,21].
+    """
+    e = load(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.aggregate(
+            F.slice("embedding", 1, 8),
+            F.lit(1).cast("long"),
+            lambda acc, x: acc
+            * (F.floor(x.cast("double") * 10) + 12).cast("long"),
+        ).alias("conf_prod"),
+    )
+
+
+def a7_group_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: per-group result accumulation (pipeline.py:73-79), deterministic
+    via sort_array."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"))
+    )
+
+
+# --- joins / sets / windows / sort ------------------------------------------
+
+def j1_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: equi-join, small side broadcast (golden-check join analog)."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def j2_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: coverage anti-join (missing urls analog)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def j3_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: EXISTS semi-join, counted per segment."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def w1_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: top-3 earliest events per user (reading-order window analog,
+    net.py:108)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        load(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def t1_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """T1: deterministic top-10 orders by price."""
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def u1_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """U1: union of customer & supplier nations, deduplicated."""
+    c = load(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
+    """D10: deterministic first-in-order element per group."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        load(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-agg groupBy (A1-A4 together)."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def s5_scan_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """S5: projection scan with pushed filter (query.go:77-83 analog)."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def s10_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S10/S11: DDL + insert-select + read-back through the SQL surface
+    (query.go:40-55 CREATE/DROP analog on temp views)."""
+    load(spark, sf, "nation").createOrReplaceTempView("nation_src")
+    spark.sql("DROP VIEW IF EXISTS nation_ddl")
+    spark.sql(
+        "CREATE TEMPORARY VIEW nation_ddl AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_src "
+        "WHERE n_regionkey >= 2"
+    )
+    return spark.sql("SELECT n_regionkey, count(*) AS n FROM nation_ddl GROUP BY n_regionkey")
+
+
+def fn_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 scalar functions: lower/trim/translate/concat_ws/sha2/md5."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("lowered"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias(
+            "translated"
+        ),
+        F.concat_ws("|", "lang", "source").alias("tagged"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.md5(F.col("text")).alias("fp_md5"),
+    )
