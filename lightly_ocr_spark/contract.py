@@ -51,12 +51,16 @@ EOS = "\x03"           # span text truncated at first EOS sentinel        (R8)
 # ---------------------------------------------------------------------------
 RAW_TEXT_ELEMENTS = ("script", "style", "noscript", "template", "title")
 
+# Group 1: raw-text element name; group 2: "/" for close tags; group 3: tag
+# name (None for every invisible construct) — classification happens in the
+# C regex engine, not in per-match Python.
 MASTER_PATTERN = (
     r"<!--.*?(?:-->|$)"                                          # comment
     r"|<(script|style|noscript|template|title)\b[^>]*>.*?(?:</\1\s*>|$)"  # raw text
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"                                # CDATA
     r"|<\?.*?(?:\?>|$)"                                          # proc. instr.
-    r"|<[/!]?[a-zA-Z][^>]*>"                                     # any tag
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>"                        # tag
+    r"|<![a-zA-Z][^>]*>"                                         # doctype etc.
 )
 MASTER_RE = re.compile(MASTER_PATTERN, re.DOTALL | re.IGNORECASE)
 
@@ -99,6 +103,8 @@ SEGMENT_SEP = "\n\n"
 
 # UTF-8 BOM for the decode primitive.
 BOM = b"\xef\xbb\xbf"
+
+_CR_RE = re.compile(r"\r\n?")
 
 
 def segment_score(core: list[tuple[float, int]]) -> float:
@@ -153,23 +159,10 @@ def canonicalize_newlines(s: str) -> tuple[str, list[int]]:
     """
     if "\r" not in s:
         return s, []
-    out: list[str] = []
     removals: list[int] = []
-    i, n = 0, len(s)
-    pos = 0  # canonical write position
-    while i < n:
-        c = s[i]
-        if c == "\r":
-            if i + 1 < n and s[i + 1] == "\n":
-                out.append("\n")
-                removals.append(pos)
-                i += 2
-            else:
-                out.append("\n")
-                i += 1
-            pos += 1
-        else:
-            out.append(c)
-            i += 1
-            pos += 1
-    return "".join(out), removals
+    shift = 0
+    for m in _CR_RE.finditer(s):
+        if m.group() == "\r\n":
+            removals.append(m.start() - shift)  # canonical pos of the \n
+            shift += 1
+    return s.replace("\r\n", "\n").replace("\r", "\n"), removals

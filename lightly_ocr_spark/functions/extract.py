@@ -45,7 +45,6 @@ from lightly_ocr_spark.contract import (
     MIN_SEG_CHARS,
     NONWS_RE,
     SEGMENT_SEP,
-    TAG_NAME_RE,
     TAU_CONF,
     TAU_LINK,
     TAU_LOW,
@@ -89,13 +88,25 @@ class ExtractResult:
 
 
 def _normalize_block_text(raw: str) -> str:
-    """R3+R8+R9 normalization pipeline, exact order per contract."""
+    """R3+R8+R9 normalization pipeline, exact order per contract.
+
+    Fast paths are semantics-preserving: TRANSLATE_MAP touches only
+    non-ASCII codepoints and ASCII is NFC-closed, so both steps are no-ops
+    for `str.isascii()` input; `" ".join(s.split())` is exactly
+    `WS_RUN_RE.sub(" ", s).strip()` because `\\s` and `str.isspace` agree on
+    every codepoint (verified in tests/test_contract.py)."""
     eos = raw.find(EOS)
     if eos >= 0:
         raw = raw[:eos]
-    raw = raw.translate(TRANSLATE_MAP)
+    is_ascii = raw.isascii()
+    if not is_ascii and (
+        "\xa0" in raw or "​" in raw or "﻿" in raw
+    ):
+        raw = raw.translate(TRANSLATE_MAP)
     raw = CONTROL_RE.sub("", raw)
-    raw = WS_RUN_RE.sub(" ", raw).strip()
+    raw = " ".join(raw.split())
+    if is_ascii or raw.isascii():
+        return raw
     return unicodedata.normalize("NFC", raw)
 
 
@@ -122,10 +133,16 @@ def tokenize_blocks(canon: str) -> list[Block]:
     def flush() -> None:
         nonlocal pieces, link_chars, total_chars, b_start, b_end
         if pieces:
+            if b_start < 0:
+                # no visible char in any piece -> normalized text is ''
+                pieces = []
+                return
             raw = "".join(pieces)
             text = _normalize_block_text(raw)
             if text:
-                words = len(text.split()) + len(CJK_RE.findall(text))
+                words = len(text.split())
+                if not text.isascii():
+                    words += len(CJK_RE.findall(text))
                 r = min(1.0, words / WORD_CAP)
                 ld = (link_chars / total_chars) if total_chars > 0 else 0.0
                 blocks.append(Block(text, words, r, ld, b_start, b_end))
@@ -137,39 +154,39 @@ def tokenize_blocks(canon: str) -> list[Block]:
 
     def add_text(run: str, off: int) -> None:
         nonlocal link_chars, total_chars, b_start, b_end
+        first = NONWS_RE.search(run)
+        if first is None:
+            # whitespace-only run: contributes separators, never counts,
+            # bounds, or entities (an entity needs '&', a visible char)
+            pieces.append(run)
+            return
         unescaped = _html.unescape(run)
         pieces.append(unescaped)
         nonws = len(WS_RUN_RE.sub("", unescaped))
         total_chars += nonws
         if link_depth > 0:
             link_chars += nonws
-        first = NONWS_RE.search(run)
-        if first is not None:  # run has a visible char
-            if b_start < 0:
-                b_start = off + first.start()
-            last = NONWS_RE.search(run[::-1])
-            b_end = off + len(run) - last.start()
+        if b_start < 0:
+            b_start = off + first.start()
+        last = NONWS_RE.search(run[::-1])
+        b_end = off + len(run) - last.start()
 
     for m in MASTER_RE.finditer(canon):
-        if m.start() > pos:
-            add_text(canon[pos : m.start()], pos)
+        start = m.start()
+        if start > pos:
+            add_text(canon[pos:start], pos)
         pos = m.end()
-        tok = m.group(0)
-        c1 = tok[1] if len(tok) > 1 else ""
-        if c1 in "!?" or m.group(1) is not None:
-            # comment, CDATA, doctype, processing instruction, raw-text elem
+        name = m.group(3)  # None for comment/rawtext/CDATA/PI/doctype
+        if name is None:
             continue
-        nm = TAG_NAME_RE.match(tok)
-        if nm is None:
-            continue
-        name = nm.group(1).lower()
-        if name == "a":
-            if c1 == "/":
+        name = name.lower()
+        if name in BLOCK_TAGS:
+            flush()
+        elif name == "a":
+            if m.group(2):
                 link_depth = max(0, link_depth - 1)
             else:
                 link_depth += 1
-        elif name in BLOCK_TAGS:
-            flush()
     if pos < n:
         add_text(canon[pos:], pos)
     flush()

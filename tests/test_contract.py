@@ -48,6 +48,17 @@ class TestNewlines:
         assert orig[i + bisect_right(rem, i)] == "c"
 
 
+def test_ws_class_equals_isspace():
+    """The engine's `' '.join(s.split())` fast path is only valid if `\\s`
+    and `str.isspace` agree on EVERY codepoint (contract invariant)."""
+    import re
+
+    ws = re.compile(r"\s")
+    for cp in range(0x110000):
+        c = chr(cp)
+        assert bool(ws.match(c)) == c.isspace(), hex(cp)
+
+
 class TestSegmentScore:
     def test_single_block_is_density(self):
         assert math.isclose(segment_score([(0.5, 7)]), 0.5, rel_tol=1e-12)
