@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_validity_filter": R.f7_validity_filter,
         "s5_scan_projection": R.s5_scan_projection,
         "s10_ddl_roundtrip": R.s10_ddl_roundtrip,
+        "f9_cdc_merge": R.f9_cdc_merge,
+        "s3_text_scan": R.s3_text_scan,
         # aggregates (A1-A7)
         "a1_streaming_mean": R.a1_streaming_mean,
         "a2_exact_match_accuracy": R.a2_exact_match_accuracy,
@@ -105,6 +107,13 @@ def oracle_sql() -> dict[str, str]:
     ql["s10_ddl_roundtrip"] = (
         "SELECT n_regionkey, count(*) AS n FROM nation "
         "WHERE n_regionkey >= 2 GROUP BY n_regionkey"
+    )
+    ql["s3_text_scan"] = "SELECT doc_id, lang FROM documents"
+    ql["f9_cdc_merge"] = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(sum(CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0 "
+        "THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total_after "
+        "FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY o_orderstatus"
     )
     ql["a1_streaming_mean"] = (
         "SELECT event_type, round(avg(value), 6) AS avg_value "

@@ -33,6 +33,7 @@ import glob
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -65,8 +66,16 @@ def run_extract(
     n_slices: int = 8,
     resume: bool = True,
     salt_partitions: int | None = None,
+    salt: bool = True,
+    concurrent_slices: int = 4,
 ) -> dict:
-    """Run the extraction over all uncommitted slices; return job summary."""
+    """Run the extraction over all uncommitted slices; return job summary.
+
+    Slices run as concurrent Spark jobs (driver threads; Spark's scheduler
+    interleaves their stages) so per-job barriers — scan tail, shuffle
+    boundary, write commit — overlap instead of serializing.  Commit
+    semantics are unchanged: each slice's manifest is written only after its
+    own parquet write succeeds."""
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     slices = _slice_files(_input_files(pages_path), n_slices)
     if salt_partitions is None:
@@ -75,16 +84,22 @@ def run_extract(
     summary = {"slices": len(slices), "skipped": 0, "run": 0, "rows_out": 0,
                "wall_s": 0.0}
     t_job = time.time()
-    for k, files in enumerate(slices):
+
+    def run_slice(k: int, files: list[str]) -> int | None:
         manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"slice-{k}.json")
         if resume and os.path.exists(manifest_path):
-            summary["skipped"] += 1
-            continue
+            return None
         t0 = time.time()
         pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
-        # skew salting: spread any hot host across all partitions (north_rule)
-        salted = pages.repartition(salt_partitions, F.xxhash64("url"))
-        obs = Observation(f"slice-{k}")
+        # skew salting: spread any hot host across all partitions
+        # (north_rule).  Extraction itself is row-local (input splits are
+        # byte-uniform), so --no-salt skips the shuffle when no downstream
+        # op keys by host/url.
+        salted = (
+            pages.repartition(salt_partitions, F.xxhash64("url"))
+            if salt else pages
+        )
+        obs = Observation(f"slice-{k}-{int(t_job)}")
         extracted = extract_pages(salted).observe(
             obs,
             F.count(F.lit(1)).alias("rows_out"),
@@ -111,8 +126,16 @@ def run_extract(
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, manifest_path)
-        summary["run"] += 1
-        summary["rows_out"] += m["rows_out"]
+        return m["rows_out"]
+
+    with ThreadPoolExecutor(max_workers=max(1, concurrent_slices)) as pool:
+        results = list(pool.map(lambda a: run_slice(*a), enumerate(slices)))
+    for r in results:
+        if r is None:
+            summary["skipped"] += 1
+        else:
+            summary["run"] += 1
+            summary["rows_out"] += r
     summary["wall_s"] = round(time.time() - t_job, 3)
     return summary
 
@@ -154,6 +177,7 @@ def main() -> None:
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-salt", action="store_true")
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args()
 
@@ -162,7 +186,7 @@ def main() -> None:
     spark = build_session("extract-job", cores=args.cores)
     summary = run_extract(
         spark, args.pages, args.out, n_slices=args.slices,
-        resume=not args.no_resume,
+        resume=not args.no_resume, salt=not args.no_salt,
     )
     if args.verify:
         summary["verify"] = verify_extracted(spark, args.pages, args.out)

@@ -279,6 +279,51 @@ def s10_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql("SELECT n_regionkey, count(*) AS n FROM nation_ddl GROUP BY n_regionkey")
 
 
+def s3_text_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S3: annotation-list scan (generator.py:27-40): write a
+    tab-separated text manifest, read it back with the text source, split
+    into typed columns (path/label analog = doc_id/lang)."""
+    import os
+    import tempfile
+
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    tmp = os.path.join(tempfile.gettempdir(), "s3_manifest")
+    (
+        d.select(F.concat_ws("\t", F.col("doc_id").cast("string"), "lang")
+                 .alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    lines = spark.read.text(tmp)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+    )
+
+
+def f9_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """F9/F10: DELETE + UPDATE semantics (query.go:86-88,102-104) emulated
+    jarlessly: anti-join for deletes, left-join + coalesce for updates (the
+    MERGE INTO pattern on engines without row-level ops)."""
+    o = load(spark, sf, "orders")
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    updates = o.filter(
+        (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("new_price")
+    )
+    kept = o.join(deletes, "o_orderkey", "left_anti")
+    merged = kept.join(F.broadcast(updates), "o_orderkey", "left").withColumn(
+        "price2", F.coalesce("new_price", "o_totalprice")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price2"), 2).alias("total_after"),
+    )
+
+
 def fn_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
     """§2.7 scalar functions: lower/trim/translate/concat_ws/sha2/md5."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)

@@ -19,7 +19,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 1024  # docs per Arrow batch into the Python workers
+# Docs per Arrow batch into the Python workers.  Small batches pipeline the
+# JVM scan with Python extraction (measured: 512 ≈ 2.9x faster than 8192 at
+# ~2 KB/doc).  Budget ~1-4 MB per batch: for ~100 KB Common-Crawl docs the
+# equivalent setting is 16-64 rows — tune per corpus byte size, not row count.
+ARROW_BATCH_ROWS = 512
+
+# Local parquet files are small; the 128 MB default bin-packs them into a
+# handful of scan partitions and strands cores.  16 MB keeps local[N] busy;
+# on a real cluster with ~1 GB files the default is fine (override per job).
+MAX_PARTITION_BYTES = "16m"
 
 
 def build_session(
@@ -55,6 +64,7 @@ def build_session(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
+        .config("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -1,0 +1,35 @@
+"""Package the engine for `spark-submit --py-files` (north_rule packaging).
+
+Produces dist/lightly_ocr_spark.zip containing the package; submit with:
+
+    spark-submit --py-files dist/lightly_ocr_spark.zip \
+        lightly_ocr_spark/jobs/extract_job.py --pages ... --out ...
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(REPO, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "lightly_ocr_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "lightly_ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
