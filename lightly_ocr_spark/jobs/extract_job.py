@@ -183,7 +183,7 @@ def main() -> None:
 
     from lightly_ocr_spark.plans.session import build_session
 
-    spark = build_session("extract-job", cores=args.cores)
+    spark = build_session("extract-job", cores=args.cores, python_heavy=True)
     summary = run_extract(
         spark, args.pages, args.out, n_slices=args.slices,
         resume=not args.no_resume, salt=not args.no_salt,

@@ -98,11 +98,19 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
 def minhash_pairs(
     spark: SparkSession, sf: str,
     k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    max_id: int = 500,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band-hash bucket join, pairs within
     buckets only (the 10^12-scale dedup path).  Input doubled on doc_id<50
-    so true duplicate pairs exist."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    so true duplicate pairs exist.
+
+    `max_id` bounds the candidate universe: the synthetic documents share a
+    tiny vocabulary, so nearly every pair is a true near-dup and the pair
+    count grows quadratically with corpus size — a data property, not an
+    LSH failure (bucket join still never materializes cross-bucket pairs)."""
+    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < max_id
+    )
     doubled = d.unionByName(
         d.filter(F.col("doc_id") < 50).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"

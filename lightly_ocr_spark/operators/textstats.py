@@ -67,24 +67,30 @@ def quality_score(spark: SparkSession, sf: str) -> DataFrame:
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-count language ID (n-gram heuristic; ties resolve in fixed
     marker order)."""
-    d = load(spark, sf, "documents")
-    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    # flat projection first: keeps the Catalyst expression tree shallow
-    # (nesting the counts inside the CASE chain made analysis+codegen slow)
-    counted = d.select(
-        "doc_id",
-        *[_occurrences(t, mk).alias(f"n_{lang}") for lang, mk in LANG_MARKERS],
+    # One spark.sql() call: the whole expression tree is built and analyzed
+    # JVM-side (building it via Column operators paid seconds of py4j +
+    # analysis overhead per session for zero runtime benefit).
+    load(spark, sf, "documents").createOrReplaceTempView("docs_langid")
+    count_exprs = ", ".join(
+        f"CAST((length(s) - length(replace(s, '{mk}', ''))) / {len(mk)} "
+        f"AS BIGINT) AS n_{lang}"
+        for lang, mk in LANG_MARKERS
     )
-    best = F.greatest(*[F.col(f"n_{lang}") for lang, _ in LANG_MARKERS])
-    pred = F.lit("und")
-    for lang, _ in reversed(LANG_MARKERS):  # earlier markers win ties
-        pred = F.when(
-            (best > 0) & (F.col(f"n_{lang}") == best), F.lit(lang)
-        ).otherwise(pred)
-    return counted.select(
-        "doc_id",
-        *[F.col(f"n_{lang}") for lang, _ in LANG_MARKERS],
-        pred.alias("pred_lang"),
+    names = ", ".join(f"n_{lang}" for lang, _ in LANG_MARKERS)
+    first, *rest = LANG_MARKERS
+    case = (
+        f"CASE WHEN greatest({names}) = 0 THEN 'und' "
+        + f"WHEN n_{first[0]} = greatest({names}) THEN '{first[0]}' "
+        + " ".join(
+            f"WHEN n_{lang} = greatest({names}) THEN '{lang}'"
+            for lang, _ in rest[:-1]
+        )
+        + f" ELSE '{rest[-1][0]}' END AS pred_lang"
+    )
+    return spark.sql(
+        f"SELECT doc_id, {names}, {case} FROM (SELECT doc_id, {count_exprs} "
+        "FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s "
+        "FROM docs_langid))"
     )
 
 

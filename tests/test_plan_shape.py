@@ -1,0 +1,74 @@
+"""Physical-plan shape gates (SURVEY.md §4): the declarative surface must
+actually get Catalyst's optimizations — pushdown, pruning, broadcast — and
+the extraction pipeline must cross the JVM↔Python boundary exactly once."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlanShape:
+    def test_filter_pushdown_and_column_pruning(self, spark):
+        from lightly_ocr_spark.plans.relational import f1_length_filter
+
+        plan = plan_of(f1_length_filter(spark, SF))
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed and "n_chars" in pushed[0]  # predicate reaches the scan
+        # pruning: the wide `text` column must NOT be read
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "text" not in read_schema[0]
+
+    def test_broadcast_join_chosen(self, spark):
+        from lightly_ocr_spark.plans.relational import j1_broadcast_join
+
+        assert "BroadcastHashJoin" in plan_of(j1_broadcast_join(spark, SF))
+
+    def test_anti_and_semi_join_strategies(self, spark):
+        from lightly_ocr_spark.plans.relational import j2_anti_join, j3_semi_join
+
+        assert "LeftAnti" in plan_of(j2_anti_join(spark, SF))
+        assert "LeftSemi" in plan_of(j3_semi_join(spark, SF))
+
+    def test_extract_is_single_python_stage_no_shuffle(self, spark):
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+
+        pages = spark.createDataFrame(
+            [("u", None, b"<p>x</p>")], "url string, warc_ts timestamp, html binary"
+        )
+        plan = plan_of(extract_pages(pages), mode="simple")
+        assert plan.count("MapInPandas") == 1  # one Arrow crossing (D/R fused)
+        assert "Exchange" not in plan          # narrow: zero shuffles
+
+    def test_salted_extract_exactly_one_shuffle(self, spark):
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+
+        df = extract_pages(
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .selectExpr("cast(doc_id as string) url",
+                        "cast(NULL as timestamp) warc_ts",
+                        "encode(text, 'utf-8') html")
+            .repartition(8, F.xxhash64("url"))
+        )
+        plan = plan_of(df, mode="simple")
+        assert plan.count("Exchange") == 1     # the explicit salt, only
+
+    def test_scalar_functions_stay_in_codegen(self, spark):
+        from lightly_ocr_spark.operators.textstats import quality_score
+
+        plan = plan_of(quality_score(spark, SF))
+        assert "codegen id" in plan  # whole-stage codegen covers the project
+        assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+        assert "ArrowEvalPython" not in plan   # no Python at all here
