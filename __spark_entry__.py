@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_lsh_topk": similarity.lsh_topk,             # rows-only
+        "sim_ivf_topk": similarity.ivf_topk,             # rows-only
         # streaming
         "st1_streaming_counts": streaming_event_counts,
         # flagship extraction (engine UDF with SQL-predictable oracle)

@@ -107,6 +107,81 @@ def lsh_buckets(df: DataFrame, planes=None) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(df: DataFrame, n: int = IVF_CENTROIDS) -> list[list[float]]:
+    """Deterministic IVF codebook: the first `n` vectors by vec_id (a fixed,
+    reproducible sample — at 10^12 scale swap in a k-means|| pass; the
+    assignment/probe plan below is unchanged)."""
+    rows = (
+        df.orderBy("vec_id").limit(n).select("embedding").collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def ivf_assign_col(emb_col, centroids) -> F.Column:
+    """Nearest-centroid id as a JVM expression: argmax of dot products
+    (centroids are unit-normalized driver-side, so dot == cosine rank)."""
+    import math
+
+    best_id = F.lit(0)
+    best_dot = None
+    for i, c in enumerate(centroids):
+        norm = math.sqrt(sum(v * v for v in c)) or 1.0
+        cn = [v / norm for v in c]
+        d = _dot(emb_col, F.array(*[F.lit(v) for v in cn]))
+        if best_dot is None:
+            best_dot = d
+        else:
+            best_id = F.when(d > best_dot, F.lit(i)).otherwise(best_id)
+            best_dot = F.greatest(best_dot, d)
+    return best_id
+
+
+def ivf_topk(
+    spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN, IVF flavor: partition vectors by nearest centroid; a query scans
+    only its `nprobe` closest cells, exact cosine rerank inside them.
+
+    Scale path: the cell id is a persisted partition column, so the probe is
+    partition pruning on the vector table — no full scan, no shuffle."""
+    e = load(spark, sf, "embeddings")
+    cents = ivf_centroids(e)
+    cell = ivf_assign_col(F.col("embedding"), cents)
+    tagged = e.withColumn("cell", cell)
+
+    q = _query_vec(spark, sf, vec_id)
+    import math
+
+    qn = math.sqrt(sum(v * v for v in q)) or 1.0
+    scored = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(
+            a * b for a, b in zip(cents[i], q)
+        ) / (math.sqrt(sum(v * v for v in cents[i])) or 1.0) / qn,
+    )
+    probe = [int(c) for c in scored[:nprobe]]
+
+    qcol = F.array(*[F.lit(v) for v in q])
+    cand = tagged.filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != vec_id)
+    )
+    sims = cand.select(
+        "vec_id",
+        (_dot(F.col("embedding"), qcol)
+         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
 def lsh_topk(
     spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10
 ) -> DataFrame:

@@ -94,6 +94,16 @@ class TestSimilarity:
         recall = len(set(exact) & set(ann)) / 10
         assert recall >= 0.3, (exact, ann)
 
+    def test_ivf_recall_vs_brute_force(self, spark):
+        from lightly_ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+        exact = [r["vec_id"] for r in cosine_topk(spark, SF, k=10).collect()]
+        ivf = [r["vec_id"] for r in ivf_topk(spark, SF, k=10).collect()]
+        recall = len(set(exact) & set(ivf)) / 10
+        # nprobe=4 of 16 cells scans ~25% of vectors; random embeddings give
+        # weak cluster structure, so expect partial-but-real recall
+        assert recall >= 0.2, (exact, ivf)
+
     def test_cosine_topk_is_sorted_and_bounded(self, spark):
         from lightly_ocr_spark.operators.similarity import cosine_topk
 
@@ -118,5 +128,5 @@ class TestDriverContract:
         assert set(oq) <= set(qs)
         # every SQL-expressible op has an oracle; rows-only are the known set
         assert set(qs) - set(oq) == {
-            "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk"
+            "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk", "sim_ivf_topk"
         }

@@ -1,0 +1,48 @@
+"""Structured Streaming parity: the same fused extraction operator under
+readStream produces byte-identical output to the batch goldens."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+class TestStreamingExtraction:
+    def test_stream_matches_goldens(self, spark, pages_dir):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.streaming.extract_stream import extract_stream
+
+        got = extract_stream(spark, pages_dir, max_files_per_trigger=2)
+        golden = spark.read.parquet(pages_dir).select(
+            "url", F.col("text").alias("golden_text")
+        )
+        joined = got.join(golden, "url", "inner")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("text") == F.col("golden_text")).cast("long"))
+            .alias("ok"),
+        ).collect()[0]
+        assert stats["n"] == 1500 == stats["ok"]
+        # incremental triggers must not duplicate rows
+        assert got.groupBy("url").count().filter("count > 1").count() == 0
+
+    def test_streaming_counts_match_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.streaming.file_stream import (
+            streaming_event_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stream = {
+            (r["event_type"], r["n"])
+            for r in streaming_event_counts(spark, sf).collect()
+        }
+        batch = {
+            (r["event_type"], r["n"])
+            for r in spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert stream == batch
