@@ -108,3 +108,25 @@ class TestSkewSalting:
         ]
         hratio = max(hcounts) / (sum(hcounts) / len(hcounts))
         assert hratio > ratio  # salting strictly improves balance
+
+    def test_single_host_corpus_still_balances(self, spark):
+        """Pathological skew: EVERY row from one host.  Host-keyed
+        partitioning collapses to one partition; xxhash64(url) stays
+        uniform because the url path still varies (north_rule)."""
+        from pyspark.sql import functions as F
+
+        n = 4000
+        pages = spark.range(n).select(
+            F.concat(F.lit("https://megahost.example.org/page-"), "id")
+            .alias("url")
+        )
+        n_part = 8
+        counts = [
+            r["count"]
+            for r in pages.repartition(n_part, F.xxhash64("url"))
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        ]
+        assert len(counts) == n_part
+        ratio = max(counts) / (n / n_part)
+        assert ratio < 1.25, counts
