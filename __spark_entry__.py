@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": R.tpch_q1,
         # scalar function surface (§2.7)
         "fn_scalar_surface": R.fn_scalar_surface,
+        "fn_json_extract": R.fn_json_extract,
         # text analysis
         "ta_token_count": textstats.token_count,
         "ta_quality_score": textstats.quality_score,
@@ -198,6 +199,13 @@ def oracle_sql() -> dict[str, str]:
         "concat_ws('|', lang, source) AS tagged, "
         "sha256(text) AS sha, md5(text) AS fp_md5 "
         "FROM documents WHERE doc_id < 100"
+    )
+    ql["fn_json_extract"] = (
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) "
+        "AS sum_k, "
+        "CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) "
+        "AS max_k FROM events GROUP BY event_type"
     )
     ql["ta_token_count"] = (
         "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "

@@ -324,6 +324,22 @@ def f9_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fn_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 JSON surface: from_json over the events.props payload, grouped
+    stats over the extracted field (manifest-rollup pattern)."""
+    e = load(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
 def fn_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
     """§2.7 scalar functions: lower/trim/translate/concat_ws/sha2/md5."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
