@@ -35,13 +35,17 @@ BENCH_QUERY_NAMES = [
 
 
 def ensure_bench_pages(n: int) -> str:
-    """Cache the synthetic corpus (no golden column — generation speed)."""
+    """Cache the synthetic corpus (no golden column — generation speed).
+    Cache key includes the corpus version so generator changes invalidate."""
+    from lightly_ocr_spark.sources.bench_corpus import (
+        CORPUS_VERSION,
+        write_bench_pages,
+    )
+
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench", f"pages_{n}")
+                     ".bench", f"pages_{n}_v{CORPUS_VERSION}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        from lightly_ocr_spark.sources.bench_corpus import write_bench_pages
-
         write_bench_pages(d, n, files=32)
         open(marker, "w").write("ok")
     return d
@@ -50,7 +54,7 @@ def ensure_bench_pages(n: int) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "200000"))
 
     import __spark_entry__ as entrymod
     from lightly_ocr_spark.operators.extract_udf import extract_pages
@@ -75,7 +79,7 @@ def main() -> None:
 
     def run(df):
         best, row = float("inf"), None
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: the shared box carries outside load
             t0 = time.time()
             r = extract_pages(df).agg(
                 F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")

@@ -8,6 +8,10 @@ import os
 import random
 from multiprocessing import Pool
 
+# bump when the generator or page templates change: the bench.py cache key
+# includes it, so stale corpora are never silently reused across rounds
+CORPUS_VERSION = 2
+
 from lightly_ocr_spark.sources.synthetic import (
     EPOCH,
     LANGS,
