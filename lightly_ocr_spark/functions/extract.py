@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import html as _html
+import re
 import unicodedata
 from bisect import bisect_right
 from dataclasses import dataclass
@@ -41,7 +42,7 @@ from lightly_ocr_spark.contract import (
     EOS,
     EXPAND_MAX_LINK,
     EXPAND_MAX_WORDS,
-    MASTER_RE,
+    MASTER_PATTERN,
     MIN_SEG_CHARS,
     NONWS_RE,
     SEGMENT_SEP,
@@ -110,6 +111,18 @@ def _normalize_block_text(raw: str) -> str:
     return unicodedata.normalize("NFC", raw)
 
 
+# Engine-side variant of the master grammar for `re.split`: the whole token
+# is capture group 1, so split yields a flat
+# [text, token, rawname, slash, tagname, text, ...] stride-5 list with ZERO
+# Match objects — everything is extracted in the C regex engine.  The
+# grammar is character-identical to contract.MASTER_PATTERN (only the
+# rawtext backreference is renumbered for the added outer group).
+SPLIT_RE = re.compile(
+    "(" + MASTER_PATTERN.replace(r"</\1", r"</\2") + ")",
+    re.DOTALL | re.IGNORECASE,
+)
+
+
 def tokenize_blocks(canon: str) -> list[Block]:
     """D3: one pass over the canonical string -> visible text blocks.
 
@@ -120,9 +133,10 @@ def tokenize_blocks(canon: str) -> list[Block]:
     entity-unescaped independently (per-run unescape is the spec: a tag
     interrupts a character reference).
     """
-    # Hot loop: flat locals + pre-bound methods (closure cells and function
-    # calls cost ~15% at ~50 matches/doc); the emit block is duplicated for
-    # the tail on purpose.
+    # Hot loop: flat locals + pre-bound methods; the emit block is
+    # duplicated for the tail on purpose.
+    parts = SPLIT_RE.split(canon)
+    # stride 5: [text, token, rawname, slash, tagname] * k + [tail text]
     blocks: list[Block] = []
     pieces: list[str] = []        # unescaped text runs of current block
     link_chars = 0
@@ -131,17 +145,17 @@ def tokenize_blocks(canon: str) -> list[Block]:
     b_end = -1
     link_depth = 0
     pos = 0
-    n = len(canon)
+    np = len(parts)
     nonws_search = NONWS_RE.search
     ws_sub = WS_RUN_RE.sub
     unescape = _html.unescape
     append_piece = pieces.append
     block_tags = BLOCK_TAGS
 
-    for m in MASTER_RE.finditer(canon):
-        start = m.start()
-        if start > pos:
-            run = canon[pos:start]
+    i = 0
+    while i + 1 < np:
+        run = parts[i]
+        if run:
             first = nonws_search(run)
             if first is None:
                 # whitespace-only run: separators only — no counts, bounds,
@@ -157,8 +171,10 @@ def tokenize_blocks(canon: str) -> list[Block]:
                 if b_start < 0:
                     b_start = pos + first.start()
                 b_end = pos + len(run) - nonws_search(run[::-1]).start()
-        pos = m.end()
-        name = m.group(3)  # None for comment/rawtext/CDATA/PI/doctype
+            pos += len(run)
+        pos += len(parts[i + 1])
+        name = parts[i + 4]  # None for comment/rawtext/CDATA/PI/doctype
+        i += 5
         if name is None:
             continue
         name = name.lower()
@@ -183,12 +199,12 @@ def tokenize_blocks(canon: str) -> list[Block]:
                 b_start = -1
                 b_end = -1
         elif name == "a":
-            if m.group(2):
+            if parts[i - 2]:  # slash group of this token
                 link_depth = max(0, link_depth - 1)
             else:
                 link_depth += 1
-    if pos < n:
-        run = canon[pos:]
+    run = parts[np - 1]
+    if run:
         first = nonws_search(run)
         if first is None:
             append_piece(run)
