@@ -1,0 +1,155 @@
+"""Training-data curation pipeline: pages -> curated text table.
+
+Composes the engine's operators into the end-to-end shape a large-scale
+training corpus build needs (the graft of the reference's
+generator->filter->dataset ETL plane, `ocr/tools/generator.py` +
+`ocr/tools/dataset.py:143-156`):
+
+    extract (fused UDF)           # stage 1+2 of the engine
+    -> drop empty                 # F7 validity
+    -> exact dedup                # sha256 groups, keeper = min(url)
+    -> near dedup (MinHash-LSH)   # banded buckets; drop the larger url of
+                                  # any candidate pair with >=50% signature
+                                  # agreement
+    -> quality gate               # >= MIN_TOKENS whitespace tokens
+    -> write + stage-count manifest
+
+Every stage is a DataFrame transform (shuffles: one per dedup stage, keyed
+by fingerprint/bucket — both near-uniform keys, no skew salting needed on
+top of the content hashes themselves).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.operators.dedup import minhash_signatures
+from lightly_ocr_spark.operators.extract_udf import extract_pages
+from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+MIN_TOKENS = 10
+NEAR_DUP_MIN_AGREEMENT = 0.5
+MINHASH_K = 32
+BANDS = 8
+
+
+def near_dup_drops(texts: DataFrame) -> DataFrame:
+    """(url, text) -> urls to drop: for each LSH candidate pair whose
+    signatures agree on >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes, the
+    lexicographically larger url loses (deterministic keeper)."""
+    sig = minhash_signatures(
+        texts.select(F.col("url").alias("doc_id"), "text"), k=MINHASH_K
+    )
+    rows_per_band = MINHASH_K // BANDS
+    stacked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"mh{b * rows_per_band + j}")
+                          for j in range(rows_per_band)],
+                    ).alias("bh"),
+                )
+                for b in range(BANDS)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    x, y = stacked.alias("x"), stacked.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
+        for i in range(MINHASH_K)
+    )
+    verified = (
+        cand.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .filter(agree >= int(NEAR_DUP_MIN_AGREEMENT * MINHASH_K))
+    )
+    return verified.select(F.col("b").alias("url")).distinct()
+
+
+def run_curate(spark: SparkSession, pages_path: str, out_dir: str) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+
+    extracted = extract_pages(pages, keep_empty=False).select(
+        "url", "warc_ts", "text", "n_blocks", "extract_sha256"
+    )
+    extracted.cache()
+    n_extracted = extracted.count()
+
+    # exact dedup: keeper = min(url) per content hash (one shuffle)
+    w = Window.partitionBy("extract_sha256").orderBy("url")
+    uniq = (
+        extracted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    uniq.cache()
+    n_unique = uniq.count()
+
+    drops = near_dup_drops(uniq.select("url", "text"))
+    deduped = uniq.join(drops, "url", "left_anti")
+
+    tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    curated = (
+        deduped.withColumn("n_tokens", tokens.cast("long"))
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+    )
+    curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
+    n_curated = (
+        spark.read.parquet(os.path.join(out_dir, "data")).count()
+    )
+
+    manifest = {
+        "input_pages": pages.count(),
+        "extracted_nonempty": n_extracted,
+        "after_exact_dedup": n_unique,
+        "after_near_dedup_and_quality": n_curated,
+        "min_tokens": MIN_TOKENS,
+        "wall_s": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    extracted.unpersist()
+    uniq.unpersist()
+    return manifest
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from lightly_ocr_spark.plans.session import build_session
+
+    spark = build_session("curate-job", cores=args.cores, python_heavy=True)
+    print(json.dumps(run_curate(spark, args.pages, args.out)))
+
+
+if __name__ == "__main__":
+    main()

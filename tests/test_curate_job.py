@@ -1,0 +1,41 @@
+"""End-to-end curation pipeline test with planted exact and near dupes."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+class TestCurateJob:
+    def test_pipeline_with_planted_duplicates(self, spark, pages_dir, tmp_path):
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        # plant exact dupes: same html, different url (zz- prefix loses the
+        # min(url) race against the originals)
+        dupes = base.filter(F.length("html") > 200).limit(40).select(
+            F.concat(F.lit("zz-exact-"), "url").alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+        planted_dir = str(tmp_path / "pages_planted")
+        base.unionByName(dupes).write.mode("overwrite").parquet(planted_dir)
+
+        out = str(tmp_path / "curated")
+        m = run_curate(spark, planted_dir, out)
+
+        assert m["input_pages"] == 1540
+        assert m["extracted_nonempty"] <= 1540
+        # all 40 planted exact dupes collapse
+        assert m["after_exact_dedup"] <= m["extracted_nonempty"] - 40
+        assert 0 < m["after_near_dedup_and_quality"] <= m["after_exact_dedup"]
+
+        curated = spark.read.parquet(os.path.join(out, "data"))
+        # no planted url may survive (its original wins min(url))
+        assert curated.filter(F.col("url").startswith("zz-exact-")).count() == 0
+        # schema + invariants
+        assert curated.filter(F.col("n_tokens") < 10).count() == 0
+        assert curated.groupBy("extract_sha256").count() \
+            .filter("count > 1").count() == 0
