@@ -43,7 +43,9 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
     signatures agree on >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes, the
     lexicographically larger url loses (deterministic keeper)."""
     sig = minhash_signatures(
-        texts.select(F.col("url").alias("doc_id"), "text"), k=MINHASH_K
+        texts.select(F.col("url").alias("doc_id"), "text"),
+        k=MINHASH_K,
+        ngram=3,  # order-sensitive shingles: shared vocabulary != near-dup
     )
     rows_per_band = MINHASH_K // BANDS
     stacked = sig.select(

@@ -27,15 +27,27 @@ MINHASH_BANDS = 8       # 8 bands x 4 rows
 SIM_BITS = 64
 
 
-def _tokens(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """doc -> distinct lowercase whitespace tokens (exploded)."""
+def _tokens(df: DataFrame, id_col: str = "doc_id", ngram: int = 1) -> DataFrame:
+    """doc -> distinct lowercase shingles (exploded), all JVM-side.
+
+    ngram=1: word tokens; ngram>=2: word n-gram shingles (order-sensitive —
+    the right choice for near-dup detection over real text; unigrams
+    over-trigger whenever documents share a vocabulary)."""
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    if ngram <= 1:
+        shingles = words
+    else:
+        shingles = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - ngram + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
     return (
-        df.select(
-            id_col,
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
-            ).alias("tok"),
-        )
+        df.select(id_col, F.explode(F.array_distinct(shingles)).alias("tok"))
         .filter(F.length("tok") > 0)
     )
 
@@ -85,9 +97,11 @@ def jaccard_pairs(spark: SparkSession, sf: str, max_id: int = 150,
     )
 
 
-def minhash_signatures(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, k: int = MINHASH_K, ngram: int = 1
+) -> DataFrame:
     """doc_id -> k-column minhash signature (one shuffle: groupBy doc_id)."""
-    toks = _tokens(df)
+    toks = _tokens(df, ngram=ngram)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
         for i in range(k)
