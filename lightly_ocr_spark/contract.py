@@ -54,12 +54,21 @@ RAW_TEXT_ELEMENTS = ("script", "style", "noscript", "template", "title")
 # Group 1: raw-text element name; group 2: "/" for close tags; group 3: tag
 # name (None for every invisible construct) — classification happens in the
 # C regex engine, not in per-match Python.
+#
+# Tag bodies are quote-aware (`ATTRS`): a '>' inside a quoted attribute value
+# does NOT end the tag (HTML5 attribute-value-quoted state) — real pages
+# carry '>' in inline handlers/JSON attributes.  A tag with an UNBALANCED
+# quote fails the tag branch entirely and its '<' is treated as literal text
+# (conservative; deterministic).  Alternatives are disjoint on their first
+# character, so matching stays linear.
+ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^>'\"])*"
 MASTER_PATTERN = (
     r"<!--.*?(?:-->|$)"                                          # comment
-    r"|<(script|style|noscript|template|title)\b[^>]*>.*?(?:</\1\s*>|$)"  # raw text
+    r"|<(script|style|noscript|template|title)\b" + ATTRS        # raw text
+    + r">.*?(?:</\1\s*>|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"                                # CDATA
     r"|<\?.*?(?:\?>|$)"                                          # proc. instr.
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>"                        # tag
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9]*)" + ATTRS + r">"               # tag
     r"|<![a-zA-Z][^>]*>"                                         # doctype etc.
 )
 MASTER_RE = re.compile(MASTER_PATTERN, re.DOTALL | re.IGNORECASE)

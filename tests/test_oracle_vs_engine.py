@@ -72,6 +72,8 @@ tag_bits = st.sampled_from(
      "<script>", "</script>", "<style>", "</style>", "<!--", "-->", "<title>",
      "</title>", "<!DOCTYPE html>", "<![CDATA[", "]]>", "<?php ", "?>",
      "&amp;", "&nbsp;", "&#65;", "&#x41;", "&bogus;", "&am", "p;", "< ", ">",
+     '<a title="a>b">', "<p 'q>r'>", '<p "unbalanced>', '"', "'",
+     '<img src="x" onclick="if(a>b){}">',
      "\r\n", "\r", "\n\n", "\x03", "\x00", "\x01", "\x02", "\xa0", "​",
      "数据表格", "éüß", " word "]
 )
