@@ -15,7 +15,7 @@ Threshold lineage (reference → graft):
 graft constant      reference origin                       value
 ==================  =====================================  =====
 TAU_LOW             ``low_text`` (net.py:48, config)        0.4
-TAU_LINK            ``link_threshold`` (net.py:49)          0.5
+TAU_LINK            ``link_threshold`` (net.py:49)          0.35
 TAU_TEXT            ``text_threshold`` (net.py:47)          0.7
 TAU_CONF            serve threshold (pipeline.py:119)       0.7
 MIN_SEG_CHARS       CC area >= 10 (det_utils.py:50-52)      10

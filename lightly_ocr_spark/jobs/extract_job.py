@@ -137,7 +137,31 @@ def run_extract(
             summary["run"] += 1
             summary["rows_out"] += r
     summary["wall_s"] = round(time.time() - t_job, 3)
+    rollup_manifests(out_dir)
     return summary
+
+
+def rollup_manifests(out_dir: str) -> dict:
+    """U1: roll the per-slice lineage manifests into one job-level summary
+    (the multi-partition manifest union of SURVEY §2.6)."""
+    paths = sorted(glob.glob(os.path.join(out_dir, MANIFEST_DIR, "slice-*.json")))
+    total = {"slices": 0, "rows_out": 0, "text_chars": 0, "empty_docs": 0,
+             "checksum": 0, "input_files": []}
+    for p in paths:
+        with open(p) as f:
+            m = json.load(f)
+        total["slices"] += 1
+        total["rows_out"] += m["rows_out"]
+        total["text_chars"] += m["text_chars"]
+        total["empty_docs"] += m["empty_docs"]
+        total["checksum"] = (total["checksum"] + m["checksum"]) % (1 << 63)
+        total["input_files"] += m["input_files"]
+    out = os.path.join(out_dir, MANIFEST_DIR, "_rollup.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(total, f, indent=1)
+    os.replace(tmp, out)
+    return total
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -225,6 +225,9 @@ def u1_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
     """D10: deterministic first-in-order element per group."""
+    # returns raw timestamps: pin session TZ so collected values match the
+    # UTC-naive DuckDB oracle regardless of the caller's session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
         load(spark, sf, "events")

@@ -157,3 +157,16 @@ class TestRobustness:
     def test_stray_lt_is_text(self):
         r = ex(f"<p>{P10} a < b comparison</p>")
         assert "a < b comparison" in r.text
+
+    def test_quoted_gt_inside_attribute(self):
+        r = ex(f'<p title="a>b" onclick="if(a>b){{}}">{P10}</p>')
+        assert r.text == P10
+
+    def test_multi_megabyte_doc_linear_time(self):
+        import time
+
+        big = ("<div class='x'>" + P10 + "</div>") * 40000  # ~2.6 MB
+        t0 = time.time()
+        r = ex(big)
+        assert time.time() - t0 < 10.0  # linear scan, no backtracking blowup
+        assert r.text == P10  # 40k duplicate blocks collapse (R6)

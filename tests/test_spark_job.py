@@ -65,7 +65,7 @@ class TestExtractJob:
     def test_manifests_lineage(self, spark, pages_dir, out_dir):
         run_extract(spark, pages_dir, out_dir, n_slices=3)
         manifests = sorted(
-            glob.glob(os.path.join(out_dir, "_manifests", "*.json"))
+            glob.glob(os.path.join(out_dir, "_manifests", "slice-*.json"))
         )
         assert len(manifests) == 3
         seen_files = []
@@ -80,6 +80,13 @@ class TestExtractJob:
             glob.glob(os.path.join(pages_dir, "*.parquet"))
         )
         assert total == 1500
+
+        # U1 rollup: job-level union of slice manifests
+        rollup = json.load(
+            open(os.path.join(out_dir, "_manifests", "_rollup.json"))
+        )
+        assert rollup["slices"] == 3 and rollup["rows_out"] == 1500
+        assert sorted(rollup["input_files"]) == sorted(seen_files)
 
 
 class TestSkewSalting:
