@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_lsh_topk": similarity.lsh_topk,             # rows-only
         "sim_ivf_topk": similarity.ivf_topk,             # rows-only
+        "sim_knn_join": similarity.knn_join_query,
         # streaming
         "st1_streaming_counts": streaming_event_counts,
         # flagship extraction (engine UDF with SQL-predictable oracle)
@@ -276,6 +277,21 @@ def oracle_sql() -> dict[str, str]:
     )
     # rows-only (engine-specific hash functions, no portable SQL form):
     #   dd_minhash_pairs, dd_simhash, sim_lsh_topk, sim_cosine_topk*
+    ql["sim_knn_join"] = (
+        "WITH sims AS (SELECT q.vec_id AS q_id, b.vec_id AS b_id, "
+        "list_sum(list_transform(list_zip(b.embedding, q.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(b.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(q.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos "
+        "FROM embeddings b, embeddings q "
+        "WHERE q.vec_id < 20 AND b.vec_id <> q.vec_id), "
+        "ranked AS (SELECT q_id, b_id, cos, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, b_id ASC) AS rank FROM sims) "
+        "SELECT q_id, b_id, CAST(rank AS INTEGER) AS rank, "
+        "round(cos, 6) AS cosine_sim FROM ranked WHERE rank <= 5"
+    )
     ql["sim_cosine_topk"] = (
         "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
         "sims AS (SELECT e.vec_id, "

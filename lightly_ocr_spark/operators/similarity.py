@@ -107,6 +107,47 @@ def lsh_buckets(df: DataFrame, planes=None) -> DataFrame:
     )
 
 
+def knn_join(
+    queries: DataFrame, base: DataFrame, k: int = 5
+) -> DataFrame:
+    """Batch KNN: for every query vector, its top-k cosine neighbors in
+    `base` (excluding self-id matches).
+
+    Plan shape: broadcast the (small) query side, JVM-side dot/norm fold,
+    window top-k per query — no Python.  At 10^12 scale the cross product is
+    replaced by an LSH/IVF bucket equi-join producing candidates and the
+    SAME rerank window runs on candidates only."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pairs = b.crossJoin(F.broadcast(q)).filter(F.col("b_id") != F.col("q_id"))
+    sims = pairs.select(
+        "q_id",
+        "b_id",
+        (_dot(F.col("b_emb"), F.col("q_emb"))
+         / (_norm(F.col("b_emb")) * _norm(F.col("q_emb")))).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("b_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "b_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
+def knn_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return knn_join(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
