@@ -155,3 +155,25 @@ class TestIcebergGate:
             _pytest.skip("iceberg present: sink usable")
         with _pytest.raises(NotImplementedError):
             IcebergSink(spark, "ice.extracted")
+
+
+class TestRawDirIngest:
+    def test_binary_file_source_to_pages(self, spark, tmp_path):
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+        from lightly_ocr_spark.sources.rawdir import read_raw_dir
+
+        body = ("<html><body><p>ten little words fill this paragraph "
+                "right here now</p></body></html>")
+        for i in range(5):
+            (tmp_path / f"page{i}.html").write_text(body)
+        (tmp_path / "ignore.txt").write_text("not html")
+
+        pages = read_raw_dir(spark, str(tmp_path))
+        assert pages.count() == 5
+        assert [f.name for f in pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang"
+        ]
+        out = extract_pages(pages).select("text").distinct().collect()
+        assert len(out) == 1
+        assert out[0]["text"] == ("ten little words fill this paragraph "
+                                  "right here now")
