@@ -39,3 +39,24 @@ class TestCurateJob:
         assert curated.filter(F.col("n_tokens") < 10).count() == 0
         assert curated.groupBy("extract_sha256").count() \
             .filter("count > 1").count() == 0
+        # language column present and mostly resolved
+        n = curated.count()
+        n_lang = curated.filter(F.col("lang_pred") != "und").count()
+        assert n_lang >= int(0.9 * n)
+
+
+class TestLangId:
+    def test_accuracy_vs_corpus_truth(self, spark, pages_dir):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.langid import langid_pages
+
+        pages = spark.read.parquet(pages_dir).filter(F.length("text") > 0)
+        pred = langid_pages(pages.select("url", "text"))
+        joined = pages.select("url", "lang").join(pred, "url")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lang") == F.col("lang_pred")).cast("long"))
+            .alias("ok"),
+        ).collect()[0]
+        assert stats["ok"] / stats["n"] >= 0.95, stats
