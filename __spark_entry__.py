@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_anti_join": R.j2_anti_join,
         "j3_semi_join": R.j3_semi_join,
         "w1_window_topk": R.w1_window_topk,
+        "w2_sessionization": R.w2_sessionization,
         "t1_sort_limit": R.t1_sort_limit,
         "u1_union_distinct": R.u1_union_distinct,
         "d10_reading_order": R.d10_reading_order,
@@ -168,6 +169,18 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT user_id, event_id, row_number() OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
         "WHERE rn <= 3"
+    )
+    ql["w2_sessionization"] = (
+        "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN "
+        "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+        "event_id)) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY "
+        "ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "ids AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS sess_seq FROM flagged) "
+        "SELECT user_id, sess_seq, count(*) AS n_events, "
+        "CAST(max(epoch(ts)) - min(epoch(ts)) AS BIGINT) AS duration_s "
+        "FROM ids GROUP BY user_id, sess_seq"
     )
     ql["t1_sort_limit"] = (
         "SELECT o_orderkey, o_totalprice FROM orders "

@@ -202,6 +202,34 @@ def w1_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def w2_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 (guide pattern): sessionize events per user with a 30-minute
+    inactivity gap — lag + cumsum-of-gap-flags windows, then per-session
+    aggregates.  Integer-exact outputs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf, "events").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w_user)
+    with_flag = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_id = with_flag.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        with_id.groupBy("user_id", "sess_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        )
+    )
+
+
 def t1_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
     """T1: deterministic top-10 orders by price."""
     return (
