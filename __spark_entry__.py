@@ -172,15 +172,16 @@ def oracle_sql() -> dict[str, str]:
     )
     ql["w2_sessionization"] = (
         "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN "
-        "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, "
-        "event_id)) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY "
-        "ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER "
+        "BY ts, event_id)) > 1800000000 OR lag(ts) OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS "
+        "new_sess FROM events), "
         "ids AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY "
         "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW) AS BIGINT) AS sess_seq FROM flagged) "
         "SELECT user_id, sess_seq, count(*) AS n_events, "
-        "CAST(max(epoch(ts)) - min(epoch(ts)) AS BIGINT) AS duration_s "
-        "FROM ids GROUP BY user_id, sess_seq"
+        "CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS "
+        "duration_us FROM ids GROUP BY user_id, sess_seq"
     )
     ql["t1_sort_limit"] = (
         "SELECT o_orderkey, o_totalprice FROM orders "

@@ -208,12 +208,13 @@ def w2_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     aggregates.  Integer-exact outputs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf, "events").withColumn(
-        "ts_s", F.col("ts").cast("timestamp").cast("long")
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts_s") - F.lag("ts_s").over(w_user)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w_user)
     with_flag = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     with_id = with_flag.withColumn(
         "sess_seq",
@@ -225,7 +226,7 @@ def w2_sessionization(spark: SparkSession, sf: str) -> DataFrame:
         with_id.groupBy("user_id", "sess_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         )
     )
 
