@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": R.u1_union_distinct,
         "d10_reading_order": R.d10_reading_order,
         "tpch_q1": R.tpch_q1,
+        "p1_pivot": R.p1_pivot,
+        "c1_cube": R.c1_cube,
+        "r1_rollup": R.r1_rollup,
         # scalar function surface (§2.7)
         "fn_scalar_surface": R.fn_scalar_surface,
         "fn_json_extract": R.fn_json_extract,
@@ -207,6 +210,28 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"
+    )
+    ql["p1_pivot"] = (
+        "SELECT user_id, "
+        "round(sum(CASE WHEN event_type = 'click' THEN value END), 6) "
+        "AS click, "
+        "round(sum(CASE WHEN event_type = 'view' THEN value END), 6) "
+        "AS view, "
+        "round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) "
+        "AS purchase, "
+        "round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) "
+        "AS signup, "
+        "round(sum(CASE WHEN event_type = 'error' THEN value END), 6) "
+        "AS error FROM events GROUP BY user_id"
+    )
+    ql["c1_cube"] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+        "GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+    ql["r1_rollup"] = (
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
     )
     ql["fn_scalar_surface"] = (
         "SELECT doc_id, lower(substr(text, 1, 20)) AS lowered, "

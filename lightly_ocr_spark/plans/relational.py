@@ -266,6 +266,38 @@ def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def p1_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user value sums by event type (guide pattern)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
+def c1_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with counts."""
+    return (
+        load(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def r1_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (orderpriority, orderstatus) with sums."""
+    return (
+        load(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical multi-agg groupBy (A1-A4 together)."""
     return (
