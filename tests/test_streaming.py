@@ -46,3 +46,31 @@ class TestStreamingExtraction:
             .collect()
         }
         assert stream == batch
+
+
+class TestStatefulDedup:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightly_ocr_spark.streaming.stateful_dedup import streaming_dedup
+
+        def rows(lo, hi):
+            return pd.DataFrame(
+                {
+                    "url": [f"https://h/{i}" for i in range(lo, hi)],
+                    "text": [f"t{i}" for i in range(lo, hi)],
+                }
+            )
+
+        d = tmp_path / "overlap"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(rows(0, 100)), str(d / "a.parquet"))
+        pq.write_table(pa.Table.from_pandas(rows(50, 150)), str(d / "b.parquet"))
+
+        out = streaming_dedup(spark, str(d), max_files_per_trigger=1)
+        got = {r["url"] for r in out.collect()}
+        assert len(got) == 150                      # 50 repeats suppressed
+        assert out.count() == 150                   # no duplicate rows at all
+        assert got == {f"https://h/{i}" for i in range(150)}
