@@ -49,7 +49,12 @@ EOS = "\x03"           # span text truncated at first EOS sentinel        (R8)
 # match is a text run.  Raw-text elements (script/style/...) and comments are
 # consumed whole so their contents never become text.
 # ---------------------------------------------------------------------------
-RAW_TEXT_ELEMENTS = ("script", "style", "noscript", "template", "title")
+# script/style/noscript/template/title are HTML raw-text/metadata elements;
+# svg/math are foreign content whose text nodes (axis labels, formula
+# source) are never main content — all consumed whole as invisible.
+RAW_TEXT_ELEMENTS = (
+    "script", "style", "noscript", "template", "title", "svg", "math"
+)
 
 # Group 1: raw-text element name; group 2: "/" for close tags; group 3: tag
 # name (None for every invisible construct) — classification happens in the
@@ -64,7 +69,7 @@ RAW_TEXT_ELEMENTS = ("script", "style", "noscript", "template", "title")
 ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^>'\"])*"
 MASTER_PATTERN = (
     r"<!--.*?(?:-->|$)"                                          # comment
-    r"|<(script|style|noscript|template|title)\b" + ATTRS        # raw text
+    r"|<(script|style|noscript|template|title|svg|math)\b" + ATTRS  # raw text
     + r">.*?(?:</\1\s*>|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"                                # CDATA
     r"|<\?.*?(?:\?>|$)"                                          # proc. instr.

@@ -38,6 +38,13 @@ class TestTokenizer:
         blocks = tokenize_blocks(html)
         assert [b.text for b in blocks] == ["kept"]
 
+    def test_svg_math_foreign_content_invisible(self):
+        html = ('<p>kept words</p><svg viewBox="0 0 9 9"><text>42%</text>'
+                "<g><text>axis label</text></g></svg>"
+                "<math><mi>x</mi><mo>=</mo><mn>1</mn></math><p>also kept</p>")
+        blocks = tokenize_blocks(html)
+        assert [b.text for b in blocks] == ["kept words", "also kept"]
+
     def test_link_density(self):
         blocks = tokenize_blocks('<p><a href="/">link txt</a> free</p>')
         (b,) = blocks
