@@ -97,10 +97,15 @@ def _split_blocks(stream: list[tuple[str, int]]) -> list[list[tuple[str, int]]]:
     return regions
 
 
-def _region_pieces(region: list[tuple[str, int]]) -> list[tuple[str, bool]]:
-    """Step C: maximal index-contiguous char runs -> (raw_piece, is_link)."""
+def _region_pieces(
+    region: list[tuple[str, int]], depth: int = 0
+) -> tuple[list[tuple[str, bool]], int]:
+    """Step C: maximal index-contiguous char runs -> (raw_piece, is_link).
+
+    `depth` is the anchor nesting level carried IN from previous regions —
+    `<a>` is transparent content, so a block boundary does not close it;
+    returns the level carried OUT."""
     pieces: list[tuple[str, bool]] = []
-    depth = 0
     buf: list[str] = []
     prev_idx: int | None = None
     buf_link = False
@@ -130,7 +135,7 @@ def _region_pieces(region: list[tuple[str, int]]) -> list[tuple[str, bool]]:
         buf.append(ch)
         prev_idx = idx
     close()
-    return pieces
+    return pieces, depth
 
 
 def _normalize(raw: str) -> str:
@@ -154,8 +159,8 @@ def _normalize(raw: str) -> str:
 
 
 class OracleBlock:
-    def __init__(self, region: list[tuple[str, int]]):
-        pieces = _region_pieces(region)
+    def __init__(self, region: list[tuple[str, int]], link_depth_in: int = 0):
+        pieces, self.link_depth_out = _region_pieces(region, link_depth_in)
         unescaped = [(unescape(p), is_link) for p, is_link in pieces]
         self.link_chars = sum(
             len(WS_RUN_RE.sub("", u)) for u, is_link in unescaped if is_link
@@ -181,7 +186,13 @@ def oracle_extract(raw_html: bytes | None) -> dict:
     canon, removals = canonicalize_newlines(decoded)
 
     regions = _split_blocks(_visible_stream(canon))
-    blocks = [b for b in (OracleBlock(r) for r in regions) if b.text]
+    blocks = []
+    depth = 0
+    for r in regions:
+        b = OracleBlock(r, depth)
+        depth = b.link_depth_out
+        if b.text:
+            blocks.append(b)
 
     # D4: dual threshold
     on = [(b.r >= TAU_LOW) and (b.link_density <= TAU_LINK) for b in blocks]

@@ -45,6 +45,15 @@ class TestTokenizer:
         blocks = tokenize_blocks(html)
         assert [b.text for b in blocks] == ["kept words", "also kept"]
 
+    def test_anchor_spans_block_boundary(self):
+        """<a> is transparent content: a block tag inside it does NOT close
+        the anchor — link state carries into the next block (regression:
+        deep-fuzz round 1 caught the oracle resetting depth per block)."""
+        blocks = tokenize_blocks("<a><p>all of this is link text</p></a>"
+                                 "<p>free text</p>")
+        assert blocks[0].link_density == 1.0
+        assert blocks[1].link_density == 0.0
+
     def test_link_density(self):
         blocks = tokenize_blocks('<p><a href="/">link txt</a> free</p>')
         (b,) = blocks
