@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": similarity.lsh_topk,             # rows-only
         "sim_ivf_topk": similarity.ivf_topk,             # rows-only
         "sim_knn_join": similarity.knn_join_query,
+        "dd_embedding_neardup": similarity.embedding_neardup_pairs,
         # streaming
         "st1_streaming_counts": streaming_event_counts,
         # flagship extraction (engine UDF with SQL-predictable oracle)
@@ -316,6 +317,23 @@ def oracle_sql() -> dict[str, str]:
     )
     # rows-only (engine-specific hash functions, no portable SQL form):
     #   dd_minhash_pairs, dd_simhash, sim_lsh_topk, sim_cosine_topk*
+    ql["dd_embedding_neardup"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE a.vec_id < 100 AND b.vec_id < 100 AND "
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.3"
+    )
     ql["sim_knn_join"] = (
         "WITH sims AS (SELECT q.vec_id AS q_id, b.vec_id AS b_id, "
         "list_sum(list_transform(list_zip(b.embedding, q.embedding), "

@@ -143,6 +143,25 @@ def knn_join(
     )
 
 
+def embedding_neardup_pairs(
+    spark: SparkSession, sf: str, max_id: int = 100, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: pairs (a < b) with cosine >=
+    threshold.  Brute pairs here (bounded id range); at scale the pair
+    generation is the LSH/IVF bucket join and this exact-cosine filter runs
+    on candidates only."""
+    e = load(spark, sf, "embeddings").filter(F.col("vec_id") < max_id)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
 def knn_join_query(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return knn_join(e.filter(F.col("vec_id") < 20), e, k=5)
