@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_reading_order": R.d10_reading_order,
         "tpch_q1": R.tpch_q1,
         "p1_pivot": R.p1_pivot,
+        "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
         "c1_cube": R.c1_cube,
         "r1_rollup": R.r1_rollup,
         # scalar function surface (§2.7)

@@ -266,6 +266,20 @@ def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def x1_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate distinct (HLL++) + approximate quantiles per event type.
+
+    rows-only in the driver gate: sketch algorithms are engine-specific
+    (Spark HLL++ vs DuckDB HLL give different estimates by design); the
+    pytest bound-check asserts each estimate lands within 5% of exact."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50"),
+        F.round(F.percentile_approx("value", 0.99, 10000), 4).alias("p99"),
+    )
+
+
 def p1_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: per-user value sums by event type (guide pattern)."""
     types = ["click", "view", "purchase", "signup", "error"]

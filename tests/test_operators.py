@@ -128,5 +128,35 @@ class TestDriverContract:
         assert set(oq) <= set(qs)
         # every SQL-expressible op has an oracle; rows-only are the known set
         assert set(qs) - set(oq) == {
-            "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk", "sim_ivf_topk"
+            "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk", "sim_ivf_topk",
+            "x1_approx_aggregates",
         }
+
+    def test_approx_aggregates_within_bounds(self, spark):
+        """Sketches are engine-specific, so the gate is an accuracy bound
+        vs exact, not an oracle hash."""
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.plans.relational import (
+            load,
+            x1_approx_aggregates,
+        )
+
+        approx = {
+            r["event_type"]: r
+            for r in x1_approx_aggregates(spark, SF).collect()
+        }
+        exact = {
+            r["event_type"]: r
+            for r in load(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+            )
+            .collect()
+        }
+        for et, ex in exact.items():
+            ap = approx[et]
+            assert abs(ap["approx_users"] - ex["users"]) <= 0.05 * ex["users"]
+            assert abs(ap["p50"] - ex["p50"]) <= 0.05 * max(abs(ex["p50"]), 1e-9)

@@ -139,6 +139,29 @@ class TestSkewSalting:
         assert ratio < 1.25, counts
 
 
+class TestExtractedReporting:
+    def test_per_host_rollup_over_extracted(self, spark, pages_dir, out_dir):
+        """Reporting over the engine's OWN output: per-host doc counts and
+        text volume (the downstream-keyed aggregation the salting exists
+        for)."""
+        run_extract(spark, pages_dir, out_dir, n_slices=2)
+        ext = read_extracted(spark, out_dir)
+        host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+        rollup = (
+            ext.groupBy(host.alias("host"))
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.length("text")).alias("chars"),
+                F.round(F.avg("n_blocks"), 2).alias("avg_blocks"),
+            )
+            .collect()
+        )
+        assert sum(r["docs"] for r in rollup) == 1500
+        assert len(rollup) > 10  # many hosts (zipf tail present)
+        top = max(rollup, key=lambda r: r["docs"])
+        assert top["docs"] > 1500 * 0.15  # zipf head visible in output
+
+
 class TestIcebergGate:
     def test_iceberg_probed_and_gated(self, spark):
         """The sandbox ships no iceberg runtime jar (probed, not assumed);
