@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_quality_score": textstats.quality_score,
         "ta_lang_id": textstats.lang_id,
         "ta_fingerprint": textstats.fingerprint,
+        "ta_url_normalize": textstats.url_normalize,
         # dedup
         "dd_exact": dedup.exact_dups,
         "dd_jaccard_words": dedup.jaccard_pairs,
@@ -285,6 +286,20 @@ def oracle_sql() -> dict[str, str]:
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5, "
         "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fp_sha256 FROM documents"
+    )
+    ql["ta_url_normalize"] = (
+        "WITH raw AS (SELECT doc_id, 'HTTPS://Host' || (doc_id % 7) || "
+        "'.Example.COM/Path/' || doc_id || '/?utm_source=x&id=' || doc_id "
+        "|| '&utm_campaign=y#frag' AS raw_url FROM documents), "
+        "s1 AS (SELECT doc_id, raw_url, regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(raw_url, '#.*$', ''), "
+        "'utm_[^&]*&', '', 'g'), '[?&]utm_[^&]*$', ''), '[?&]$', '') AS u "
+        "FROM raw) "
+        "SELECT doc_id, raw_url, "
+        "lower(regexp_extract(u, '^([^:]+)://', 1)) || '://' || "
+        "lower(regexp_extract(u, '^[^:]+://([^/]+)', 1)) || "
+        "regexp_replace(regexp_replace(u, '^[^:]+://[^/]+', ''), '/$', '') "
+        "AS canon_url FROM s1"
     )
     ql["dd_exact"] = (
         "WITH doubled AS (SELECT doc_id, text FROM documents UNION ALL "

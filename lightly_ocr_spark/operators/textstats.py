@@ -94,6 +94,32 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for crawl keys: lowercase scheme+host, strip
+    fragment, strip common tracking params, drop trailing slash.  Pure
+    regexp chains (portable to any SQL engine).  Demo'd over synthetic urls
+    built from the documents table."""
+    d = load(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://Host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/Path/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    u = F.regexp_replace(raw, r"#.*$", "")                  # fragment
+    # tracking params, lookbehind-free (portable to RE2 engines):
+    u = F.regexp_replace(u, r"utm_[^&]*&", "")              # mid params
+    u = F.regexp_replace(u, r"[?&]utm_[^&]*$", "")          # trailing param
+    u = F.regexp_replace(u, r"[?&]$", "")                   # dangling sep
+    # lowercase scheme://host only (path stays case-sensitive)
+    scheme = F.lower(F.regexp_extract(u, r"^([^:]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/]+)", 1))
+    rest = F.regexp_replace(u, r"^[^:]+://[^/]+", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    u = F.concat(scheme, F.lit("://"), host, rest)
+    return d.select("doc_id", raw.alias("raw_url"), u.alias("canon_url"))
+
+
 def fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: md5 + sha256 over whitespace-normalized text
     (rolling-hash analog in fixed-width form)."""
