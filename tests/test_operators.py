@@ -160,3 +160,35 @@ class TestDriverContract:
             ap = approx[et]
             assert abs(ap["approx_users"] - ex["users"]) <= 0.05 * ex["users"]
             assert abs(ap["p50"] - ex["p50"]) <= 0.05 * max(abs(ex["p50"]), 1e-9)
+
+
+class TestFluency:
+    def test_bigram_scorer_discriminates(self):
+        from lightly_ocr_spark.operators.fluency import bigram_logp
+
+        clean = bigram_logp("the farmers watch the sky for rain and mend "
+                            "their fences before the long season")
+        soup = bigram_logp("key agg row scan slow fast table value part hash")
+        mojibake = bigram_logp("Ã(Ã(Ã(Ã(Ã(Ã(Ã(Ã(")
+        mash = bigram_logp("asdkjhqwpoiuzxmnb vcxlkjhqwer")
+        assert clean > soup > mash > -10.0 >= mojibake - 1e-9
+        assert clean > -5.5 and mash < -8.0
+        # NB: Latin-script scorer; CJK text floors — gate behind langid
+        from lightly_ocr_spark.operators.fluency import _FLOOR
+
+        assert bigram_logp("数据表格查询引擎") == _FLOOR
+
+    def test_fluency_stage_over_extracted(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.fluency import fluency_pages
+
+        d = docs.select(
+            F.concat(F.lit("doc://"), "doc_id").alias("url"), "text"
+        ).limit(200)
+        out = fluency_pages(d)
+        rows = out.collect()
+        assert len(rows) == 200
+        vals = [r["bigram_logp"] for r in rows]
+        assert all(-10.0 <= v <= 0.0 for v in vals)
+        assert sum(v > -7.0 for v in vals) > 150  # word-soup English scores mid
