@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lightly_ocr_spark.operators.dedup import minhash_signatures
-from lightly_ocr_spark.operators.langid import langid_pages
+from lightly_ocr_spark.operators.enrich import enrich_pages
 from lightly_ocr_spark.operators.extract_udf import extract_pages
 from lightly_ocr_spark.schemas import PAGES_SCHEMA
 
@@ -115,11 +115,11 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str) -> dict:
     deduped = uniq.join(drops, "url", "left_anti")
 
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    langs = langid_pages(deduped)
+    enriched = enrich_pages(deduped)  # langid + fluency, one Arrow crossing
     curated = (
         deduped.withColumn("n_tokens", tokens.cast("long"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)
-        .join(langs, "url", "left")
+        .join(enriched, "url", "left")
     )
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
     n_curated = (
