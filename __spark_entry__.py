@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_lang_id": textstats.lang_id,
         "ta_fingerprint": textstats.fingerprint,
         "ta_url_normalize": textstats.url_normalize,
+        "ta_stratified_sample": textstats.stratified_sample,  # rows-only
         # dedup
         "dd_exact": dedup.exact_dups,
         "dd_jaccard_words": dedup.jaccard_pairs,

@@ -94,6 +94,19 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language stratified subsample (training-corpus rebalancing).
+
+    Deterministic given the seed, but engine-specific (Bernoulli draws from
+    Spark's RNG stream) — rows-only in the driver gate; the pytest property
+    check bounds per-stratum fractions."""
+    d = load(spark, sf, "documents")
+    fractions = {"en": 0.5, "fr": 0.5, "es": 0.5, "de": 0.2, "zh": 0.2}
+    return d.sampleBy("lang", fractions, seed=4420).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization for crawl keys: lowercase scheme+host, strip
     fragment, strip common tracking params, drop trailing slash.  Pure

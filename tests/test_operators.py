@@ -129,8 +129,31 @@ class TestDriverContract:
         # every SQL-expressible op has an oracle; rows-only are the known set
         assert set(qs) - set(oq) == {
             "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk", "sim_ivf_topk",
-            "x1_approx_aggregates",
+            "x1_approx_aggregates", "ta_stratified_sample",
         }
+
+    def test_stratified_sample_fractions(self, spark):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.textstats import stratified_sample
+
+        # deterministic given the seed
+        a = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
+        b = {r["doc_id"] for r in stratified_sample(spark, SF).collect()}
+        assert a == b
+        got = {
+            r["lang"]: r["n"]
+            for r in stratified_sample(spark, SF)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        base = {
+            r["lang"]: r["n"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for lang, frac in [("en", 0.5), ("de", 0.2)]:
+            ratio = got.get(lang, 0) / base[lang]
+            assert abs(ratio - frac) < 0.25, (lang, ratio)
 
     def test_approx_aggregates_within_bounds(self, spark):
         """Sketches are engine-specific, so the gate is an accuracy bound
