@@ -215,3 +215,33 @@ class TestFluency:
         vals = [r["bigram_logp"] for r in rows]
         assert all(-10.0 <= v <= 0.0 for v in vals)
         assert sum(v > -7.0 for v in vals) > 150  # word-soup English scores mid
+
+
+class TestSchemaMigration:
+    def test_rename_cast_and_prefix_strip(self, spark):
+        from lightly_ocr_spark.plans.migrate import migrate_schema
+
+        df = spark.createDataFrame(
+            [(1, "a", "2.5")],
+            "legacy_id long, `module.label` string, score string",
+        )
+        out = migrate_schema(
+            df,
+            renames={"legacy_id": "doc_id"},
+            casts={"score": "double"},
+            strip_prefix="module.",
+        )
+        assert out.columns == ["doc_id", "label", "score"]
+        assert dict(out.dtypes)["score"] == "double"
+        row = out.first()
+        assert row["doc_id"] == 1 and row["label"] == "a"
+        assert abs(row["score"] - 2.5) < 1e-12
+
+    def test_rename_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from lightly_ocr_spark.plans.migrate import migrate_schema
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with _pytest.raises(ValueError):
+            migrate_schema(df, renames={"a": "b"})
