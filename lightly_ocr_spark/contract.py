@@ -20,7 +20,8 @@ TAU_TEXT            ``text_threshold`` (net.py:47)          0.7
 TAU_CONF            serve threshold (pipeline.py:119)       0.7
 MIN_SEG_CHARS       CC area >= 10 (det_utils.py:50-52)      10
 WORD_CAP            score saturation (softmax max≈1)        10
-EXPAND_MAX_WORDS    dilation budget (det_utils.py:58-71)    6
+EXPAND_MIN_WORDS    dilation budget (det_utils.py:58-71)    2
+EXPAND_MAX_WORDS    dilation budget                         6
 EXPAND_MAX_LINK     dilation budget                         0.35
 EOS                 ``[s]`` token (recog_utils.py:57)       U+0003
 ==================  =====================================  =====
@@ -40,7 +41,9 @@ TAU_TEXT = 0.7         # segment kept if max core r >= TAU_TEXT           (F6)
 TAU_CONF = 0.7         # segment kept if score (prod of core r) > TAU_CONF (F4)
 MIN_SEG_CHARS = 10     # segment kept if total normalized chars >= this   (F5)
 WORD_CAP = 10.0        # r = min(1.0, words / WORD_CAP)                   (D3)
-EXPAND_MAX_WORDS = 6   # absorb neighbor block if 1 <= words <= this      (D6)
+EXPAND_MIN_WORDS = 2   # absorb neighbor block only if words >= this      (D6)
+EXPAND_MAX_WORDS = 6   # ... and words <= this; 1-word neighbors are
+                       # "Share"/"Tweet"-style chrome, never headlines     (D6)
 EXPAND_MAX_LINK = 0.35 # ... and its link_density <= this                 (D6)
 EOS = "\x03"           # span text truncated at first EOS sentinel        (R8)
 

@@ -42,6 +42,7 @@ from lightly_ocr_spark.contract import (
     EOS,
     EXPAND_MAX_LINK,
     EXPAND_MAX_WORDS,
+    EXPAND_MIN_WORDS,
     MASTER_PATTERN,
     MIN_SEG_CHARS,
     NONWS_RE,
@@ -266,13 +267,13 @@ def _segments(blocks: list[Block]) -> list[tuple[list[int], float]]:
         left = lo - 1
         if left >= 0 and not consumed[left]:
             b = blocks[left]
-            if 1 <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
+            if EXPAND_MIN_WORDS <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
                 members.insert(0, left)
                 consumed[left] = True
         right = hi + 1
         if right < n and not consumed[right]:
             b = blocks[right]
-            if 1 <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
+            if EXPAND_MIN_WORDS <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
                 members.append(right)
                 consumed[right] = True
         # F5: size filter (area >= 10 analog), pre-collapse char count

@@ -26,6 +26,7 @@ from lightly_ocr_spark.contract import (
     EOS,
     EXPAND_MAX_LINK,
     EXPAND_MAX_WORDS,
+    EXPAND_MIN_WORDS,
     MASTER_RE,
     MIN_SEG_CHARS,
     NONWS_RE,
@@ -214,12 +215,12 @@ def oracle_extract(raw_html: bytes | None) -> dict:
         lo, hi = run[0], run[-1]
         if lo - 1 >= 0 and (lo - 1) not in taken:
             b = blocks[lo - 1]
-            if 1 <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
+            if EXPAND_MIN_WORDS <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
                 members = [lo - 1] + members
                 taken.add(lo - 1)
         if hi + 1 < len(blocks) and (hi + 1) not in taken:
             b = blocks[hi + 1]
-            if 1 <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
+            if EXPAND_MIN_WORDS <= b.words <= EXPAND_MAX_WORDS and b.link_density <= EXPAND_MAX_LINK:
                 members = members + [hi + 1]
                 taken.add(hi + 1)
         segments.append({"members": members, "core": run})

@@ -212,3 +212,13 @@ class TestRobustness:
         r = ex(big)
         assert time.time() - t0 < 10.0  # linear scan, no backtracking blowup
         assert r.text == P10  # 40k duplicate blocks collapse (R6)
+
+
+class TestExpansionMinWords:
+    def test_share_button_not_absorbed(self):
+        r = ex(f"<p>{P10}</p><div>Share</div>")
+        assert r.text == P10  # 1-word chrome never joins a segment
+
+    def test_two_word_header_still_absorbed(self):
+        r = ex(f"<h1>tiny head</h1><p>{P10}</p>")
+        assert r.text == f"tiny head\n{P10}"
