@@ -153,8 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY vec_id"
     )
     ql["a7_group_collect"] = (
-        "SELECT user_id, list_sort(list(event_id)) AS event_ids "
-        "FROM events GROUP BY user_id"
+        "SELECT user_id, array_to_string(list_sort(list(event_id)), ',') "
+        "AS event_ids FROM events GROUP BY user_id"
     )
     ql["j1_broadcast_join"] = (
         "SELECT o_orderpriority, "
@@ -309,9 +309,13 @@ def oracle_sql() -> dict[str, str]:
         "min(doc_id) AS keeper FROM doubled GROUP BY 1 HAVING count(*) > 1"
     )
     ql["dd_jaccard_words"] = (
-        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        "WITH toks0 AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
         "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
         "FROM documents WHERE doc_id < 150) WHERE length(tok) > 0), "
+        "rare AS (SELECT tok FROM toks0 GROUP BY tok "
+        "HAVING count(*) <= 75), "
+        "toks AS (SELECT doc_id, toks0.tok FROM toks0 JOIN rare "
+        "ON toks0.tok = rare.tok), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "count(*) AS inter FROM toks a JOIN toks b ON a.tok = b.tok "

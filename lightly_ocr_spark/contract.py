@@ -15,14 +15,17 @@ Threshold lineage (reference → graft):
 graft constant      reference origin                       value
 ==================  =====================================  =====
 TAU_LOW             ``low_text`` (net.py:48, config)        0.4
-TAU_LINK            ``link_threshold`` (net.py:49)          0.35
+TAU_LINK            graft-specific choice (the reference's
+                    ``linkThreshold`` at net.py:49 is 0.4;
+                    0.35 was tuned for link-density semantics
+                    and is frozen into the goldens)           0.35
 TAU_TEXT            ``text_threshold`` (net.py:47)          0.7
 TAU_CONF            serve threshold (pipeline.py:119)       0.7
 MIN_SEG_CHARS       CC area >= 10 (det_utils.py:50-52)      10
 WORD_CAP            score saturation (softmax max≈1)        10
 EXPAND_MIN_WORDS    dilation budget (det_utils.py:58-71)    2
 EXPAND_MAX_WORDS    dilation budget                         6
-EXPAND_MAX_LINK     dilation budget                         0.35
+EXPAND_MAX_LINK     same graft-specific 0.35 as TAU_LINK    0.35
 EOS                 ``[s]`` token (recog_utils.py:57)       U+0003
 ==================  =====================================  =====
 """

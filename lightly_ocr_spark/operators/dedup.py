@@ -68,13 +68,39 @@ def exact_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def jaccard_pairs(spark: SparkSession, sf: str, max_id: int = 150,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  df_cap_frac: float = 0.5) -> DataFrame:
     """N-gram (unigram) Jaccard near-dup pairs among doc_id < max_id.
 
     |A∩B| via token equi-join, |A|,|B| via counts; jaccard kept in exact
-    integer form: inter * 100 >= threshold*100 * (|A|+|B|-inter)."""
+    integer form: inter * 100 >= threshold*100 * (|A|+|B|-inter).
+
+    Skew guard: tokens present in more than `df_cap_frac` of the candidate
+    docs are dropped BEFORE the self-join (from both the intersection and
+    the set sizes — i.e. jaccard over the df-capped token sets).  Without
+    this, one ubiquitous token ("the") joins every doc with every other doc
+    and the equi-join key carries O(N^2) candidates no matter what AQE does;
+    with it the hottest surviving key touches at most df_cap docs, so pair
+    candidates are bounded by N * df_cap.  Deterministic, so the DuckDB
+    oracle applies the identical cap."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < max_id)
-    toks = _tokens(d).cache()
+    return jaccard_pairs_df(d, threshold=threshold,
+                            df_cap=int(max_id * df_cap_frac))
+
+
+def jaccard_pairs_df(d: DataFrame, threshold: float = 0.8,
+                     df_cap: int = 75) -> DataFrame:
+    """Core of `jaccard_pairs` over an arbitrary (doc_id, text) frame."""
+    raw = _tokens(d)
+    # tokens with document frequency <= df_cap (the distinct token list is
+    # dwarfed by the doc-token pairs even at 10^12 docs)
+    rare = (
+        raw.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("tok")
+    )
+    toks = raw.join(rare, "tok")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")

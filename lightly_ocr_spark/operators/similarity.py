@@ -45,6 +45,8 @@ def _query_vec(spark: SparkSession, sf: str, vec_id: int = 0):
         load(spark, sf, "embeddings").filter(F.col("vec_id") == vec_id)
         .select("embedding").first()
     )
+    if row is None:
+        raise ValueError(f"vec_id {vec_id} not found in embeddings table")
     return [float(x) for x in row["embedding"]]
 
 
@@ -242,26 +244,54 @@ def ivf_topk(
     )
 
 
+def lsh_bucket_index(df: DataFrame, planes=None) -> DataFrame:
+    """Exploded (table, bucket, vec_id, embedding) ANN index.
+
+    At 10^12 scale this is materialized ONCE, written partitioned by
+    (table, bucket); a query then fetches exactly its L buckets via
+    partition pruning / equi-join — never a full-table scan."""
+    e = lsh_buckets(df, planes)
+    return e.select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+
+
+def lsh_candidates(
+    spark: SparkSession, sf: str, vec_id: int = 0, planes=None
+) -> DataFrame:
+    """Candidate fetch for one query: broadcast the query's L (table,
+    bucket) keys and equi-join them against the exploded bucket index —
+    the same plan shape as `minhash_pairs`' band join.  The only full pass
+    over the vector table is building the index, which at scale is a
+    one-time precomputation, not a per-query cost."""
+    planes = planes or _planes()
+    e = load(spark, sf, "embeddings")
+    qkeys = (
+        lsh_bucket_index(e.filter(F.col("vec_id") == vec_id), planes)
+        .select("table", "bucket")
+    )
+    index = lsh_bucket_index(e, planes)
+    return (
+        index.join(F.broadcast(qkeys), ["table", "bucket"])
+        .filter(F.col("vec_id") != vec_id)
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "embedding")
+    )
+
+
 def lsh_topk(
     spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10
 ) -> DataFrame:
     """ANN: multi-table random-hyperplane LSH — candidates are the union of
-    the query's bucket across L tables, exact cosine rerank on candidates
-    only.  Same output schema as `cosine_topk`; recall/scan tradeoff is
+    the query's bucket across L tables (bucket-index equi-join, no
+    full-table filter scan), exact cosine rerank on candidates only.  Same
+    output schema as `cosine_topk`; recall/scan tradeoff is
     (N_TABLES, BITS_PER_TABLE)."""
     planes = _planes()
-    e = lsh_buckets(load(spark, sf, "embeddings"), planes)
-    qrow = e.filter(F.col("vec_id") == vec_id).select(
-        "embedding", "buckets"
-    ).first()
-    q = [float(x) for x in qrow["embedding"]]
+    q = _query_vec(spark, sf, vec_id)
     qcol = F.array(*[F.lit(v) for v in q])
-    qbuckets = list(qrow["buckets"])
-    match_any = None
-    for t, qb in enumerate(qbuckets):
-        cond = F.col("buckets")[t] == F.lit(int(qb))
-        match_any = cond if match_any is None else (match_any | cond)
-    cand = e.filter(match_any & (F.col("vec_id") != vec_id))
+    cand = lsh_candidates(spark, sf, vec_id, planes)
     sims = cand.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)

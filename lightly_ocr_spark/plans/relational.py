@@ -144,11 +144,20 @@ def a6_confidence_product(spark: SparkSession, sf: str) -> DataFrame:
 
 def a7_group_collect(spark: SparkSession, sf: str) -> DataFrame:
     """A7: per-group result accumulation (pipeline.py:73-79), deterministic
-    via sort_array."""
+    via sort_array.
+
+    Emitted as a comma-joined scalar, not array<string>: the driver's
+    correctness canonicalizer hashes pandas values and cannot hash Python
+    lists (round-1 gate error), and a sorted-joined string carries the same
+    information for comparison purposes."""
     return (
         load(spark, sf, "events")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("event_id"))
+            ).alias("event_ids")
+        )
     )
 
 

@@ -36,7 +36,10 @@ def _dedup_group(
         digests = pdf["url"].map(
             lambda u: hashlib.sha1(u.encode()).hexdigest()
         )
-        fresh = ~digests.isin(seen)
+        # drop repeats across batches (seen) AND within this chunk
+        # (duplicated) — without the second term, duplicates arriving in
+        # the same micro-batch chunk would all pass the freshness filter
+        fresh = ~digests.isin(seen) & ~digests.duplicated()
         out.append(pdf.loc[fresh, ["url", "text"]])
         seen.update(digests[fresh])
     state.update((list(seen),))

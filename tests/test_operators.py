@@ -54,6 +54,38 @@ class TestMinHash:
         assert agree > 0.5  # signature agreement tracks jaccard
 
 
+class TestJaccardSkew:
+    def test_universal_token_generates_no_pairs(self, spark):
+        """A token present in EVERY doc must not become a join key: without
+        the df-cap one hot key carries O(N^2) pair candidates.  Plant a
+        universal token + one unique token per doc; at threshold ~0 every
+        one of the 19,900 pairs would surface if the universal token joined
+        — the df-cap drops it, so zero pairs survive."""
+        from lightly_ocr_spark.operators.dedup import jaccard_pairs_df
+
+        rows = [(i, f"universal u{i}x") for i in range(200)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = jaccard_pairs_df(d, threshold=0.01, df_cap=100).count()
+        assert got == 0
+
+    def test_real_near_dups_still_found_under_cap(self, spark):
+        """Docs sharing RARE tokens still pair up; the universal token only
+        stops contributing to intersections/sizes."""
+        from lightly_ocr_spark.operators.dedup import jaccard_pairs_df
+
+        rows = [(i, f"universal u{i}x") for i in range(200)]
+        rows += [
+            (500, "universal alpha beta gamma delta"),
+            (501, "universal alpha beta gamma delta epsilon"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_df(d, threshold=0.8, df_cap=100).collect()
+        }
+        assert pairs == {(500, 501)}
+
+
 class TestSimHash:
     def test_simhash_deterministic_and_discriminative(self, spark, docs):
         from lightly_ocr_spark.operators.dedup import simhash

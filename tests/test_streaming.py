@@ -74,3 +74,26 @@ class TestStatefulDedup:
         assert len(got) == 150                      # 50 repeats suppressed
         assert out.count() == 150                   # no duplicate rows at all
         assert got == {f"https://h/{i}" for i in range(150)}
+
+    def test_intra_batch_dedup(self, spark, tmp_path):
+        """Duplicates arriving in the SAME micro-batch chunk must also be
+        suppressed (round-1 advisor finding: the freshness filter was
+        computed against prior-batch state only)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightly_ocr_spark.streaming.stateful_dedup import streaming_dedup
+
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://h/{i % 10}" for i in range(100)],
+                "text": [f"t{i % 10}" for i in range(100)],
+            }
+        )
+        d = tmp_path / "intra"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(pdf), str(d / "a.parquet"))
+
+        out = streaming_dedup(spark, str(d), max_files_per_trigger=1)
+        assert out.count() == 10                    # 90 intra-batch repeats

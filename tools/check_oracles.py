@@ -16,20 +16,29 @@ sys.path.insert(0, ".")
 
 
 def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    Container values (list/tuple/dict/set) are REJECTED, mirroring the
+    driver gate: its pandas canonicalizer hashes cell values and dies with
+    `unhashable type` on arrays (round-1 a7 failure).  Oracled queries must
+    emit scalars only — join arrays into strings before returning them."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in idx:
             v = r[i]
+            if isinstance(v, (list, tuple, dict, set)):
+                raise TypeError(
+                    f"container value in column '{cols[i]}' "
+                    f"({type(v).__name__}): the driver gate cannot hash "
+                    "arrays — emit a joined scalar instead"
+                )
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
                 else:
                     v = repr(round(v, 9))
-            elif isinstance(v, (list, tuple)):
-                v = repr(list(v))
             else:
                 v = repr(v)
             vals.append(v)
@@ -92,7 +101,12 @@ def main() -> int:
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            cs, cd = canon(srows, scols), canon(drows, dcols)
+            try:
+                cs, cd = canon(srows, scols), canon(drows, dcols)
+            except TypeError as e:
+                print(f"FAIL {name}: canonicalize error: {e}")
+                n_fail += 1
+                continue
             if cs != cd:
                 diffs = [
                     (a, b) for a, b in zip(cs, cd) if a != b
