@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": R.tpch_q1,
         "p1_pivot": R.p1_pivot,
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
+        "x2_exact_quantiles": R.x2_exact_quantiles,
         "c1_cube": R.c1_cube,
         "r1_rollup": R.r1_rollup,
         # scalar function surface (§2.7)
@@ -81,8 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": dedup.simhash_fingerprints,        # rows-only
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
-        "sim_lsh_topk": similarity.lsh_topk,             # rows-only
-        "sim_ivf_topk": similarity.ivf_topk,             # rows-only
+        "sim_lsh_topk": similarity.lsh_topk,
+        "sim_ivf_topk": similarity.ivf_topk,
         "sim_knn_join": similarity.knn_join_query,
         "dd_embedding_neardup": similarity.embedding_neardup_pairs,
         # streaming
@@ -228,6 +229,13 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(CASE WHEN event_type = 'error' THEN value END), 6) "
         "AS error FROM events GROUP BY user_id"
     )
+    ql["x2_exact_quantiles"] = (
+        "SELECT event_type, "
+        "round(quantile_cont(value, 0.25), 6) AS p25, "
+        "round(quantile_cont(value, 0.5), 6) AS p50, "
+        "round(quantile_cont(value, 0.75), 6) AS p75 "
+        "FROM events GROUP BY event_type"
+    )
     ql["c1_cube"] = (
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
         "GROUP BY CUBE (l_returnflag, l_linestatus)"
@@ -336,8 +344,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(string_split(collapsed, ' ')) >= 8 "
         "AND length(collapsed) >= 10"
     )
-    # rows-only (engine-specific hash functions, no portable SQL form):
-    #   dd_minhash_pairs, dd_simhash, sim_lsh_topk, sim_cosine_topk*
+    # rows-only (engine-specific internals, no portable SQL form):
+    #   dd_minhash_pairs, dd_simhash (xxhash64), x1_approx_aggregates
+    #   (sketches), ta_stratified_sample (RNG)
     ql["dd_embedding_neardup"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
         "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
@@ -369,6 +378,88 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY q_id ORDER BY cos DESC, b_id ASC) AS rank FROM sims) "
         "SELECT q_id, b_id, CAST(rank AS INTEGER) AS rank, "
         "round(cos, 6) AS cosine_sim FROM ranked WHERE rank <= 5"
+    )
+    # sim_ivf_topk IS oracle-able: centroids are the first 16 vectors by
+    # vec_id (deterministic), assignment is argmax of dot against
+    # unit-normalized centroids (ties -> lowest centroid id, matching the
+    # engine's strictly-greater update), probe = 4 closest centroids to the
+    # query by cosine, rerank = exact cosine on probed cells.  All folds run
+    # in element order in both engines, so doubles are bit-identical.
+    _dotq = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    _norm2 = (
+        "sqrt(list_sum(list_transform({a}, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    ql["sim_ivf_topk"] = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "qn AS (SELECT " + _norm2.format(a="qe") + " AS qnorm FROM q), "
+        "cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "
+        "ORDER BY vec_id LIMIT 16), "
+        "cnorm AS (SELECT cid, ce, " + _norm2.format(a="ce") + " AS cn "
+        "FROM cents), "
+        "cunit AS (SELECT cid, ce, cn, "
+        "list_transform(ce, v -> CAST(v AS DOUBLE) / cn) AS cu FROM cnorm), "
+        "assign AS (SELECT e.vec_id, c.cid, "
+        "list_sum(list_transform(list_zip(e.embedding, c.cu), "
+        "x -> CAST(x[1] AS DOUBLE) * x[2])) AS d "
+        "FROM embeddings e CROSS JOIN cunit c), "
+        "cells AS (SELECT vec_id, cid AS cell FROM "
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d DESC, cid ASC) AS rn FROM assign) WHERE rn = 1), "
+        "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER "
+        "(ORDER BY (" + _dotq.format(a="c.ce", b="q.qe")
+        + " / c.cn / qn.qnorm) DESC, c.cid ASC) AS rn "
+        "FROM cunit c, q, qn) WHERE rn <= 4), "
+        "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+        "JOIN cells s ON e.vec_id = s.vec_id "
+        "JOIN probe p ON s.cell = p.cid WHERE e.vec_id <> 0), "
+        "sims AS (SELECT vec_id, " + _dotq.format(a="embedding", b="q.qe")
+        + " / (" + _norm2.format(a="embedding") + " * qn.qnorm) AS cos "
+        "FROM cand, q, qn) "
+        "SELECT vec_id, round(cos, 6) AS cosine_sim FROM "
+        "(SELECT * FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10)"
+    )
+    # sim_lsh_topk is ALSO oracle-able: the hyperplanes are deterministic
+    # seeded doubles, so the per-table sign-bit bucket is expressible with
+    # the plane values inlined as literals (repr() round-trips doubles
+    # exactly; both engines fold the dot in element order).  A candidate is
+    # any vector sharing >=1 of the 8 (table, bucket) keys with the query.
+    from lightly_ocr_spark.operators.similarity import _planes
+
+    def _bucket(col: str, table_planes) -> str:
+        bits = []
+        for i, p in enumerate(table_planes):
+            arr = "[" + ", ".join(repr(v) for v in p) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({col}, {arr}), "
+                "x -> CAST(x[1] AS DOUBLE) * x[2]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    planes = _planes()
+    eb_cols = ", ".join(
+        _bucket("embedding", tp) + f" AS b{t}" for t, tp in enumerate(planes)
+    )
+    qb_cols = ", ".join(
+        _bucket("qe", tp) + f" AS b{t}" for t, tp in enumerate(planes)
+    )
+    any_match = " OR ".join(f"e.b{t} = qb.b{t}" for t in range(len(planes)))
+    ql["sim_lsh_topk"] = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "qn AS (SELECT " + _norm2.format(a="qe") + " AS qnorm FROM q), "
+        "eb AS (SELECT vec_id, embedding, " + eb_cols + " FROM embeddings), "
+        "qb AS (SELECT " + qb_cols + " FROM q), "
+        "cand AS (SELECT e.vec_id, e.embedding FROM eb e, qb "
+        "WHERE e.vec_id <> 0 AND (" + any_match + ")), "
+        "sims AS (SELECT vec_id, " + _dotq.format(a="embedding", b="q.qe")
+        + " / (" + _norm2.format(a="embedding") + " * qn.qnorm) AS cos "
+        "FROM cand, q, qn) "
+        "SELECT vec_id, round(cos, 6) AS cosine_sim FROM "
+        "(SELECT * FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10)"
     )
     ql["sim_cosine_topk"] = (
         "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "

@@ -289,6 +289,20 @@ def x1_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def x2_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles per event type — the oracle-able
+    companion to x1 (Spark `percentile` and DuckDB `quantile_cont` share
+    linear-interpolation semantics, so rounded results hash-match).  At
+    scale exact quantiles are a full sort per group; x1's sketches are the
+    10^12-row path and this is the verification/spot-check path."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
 def p1_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: per-user value sums by event type (guide pattern)."""
     types = ["click", "view", "purchase", "signup", "error"]

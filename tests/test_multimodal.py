@@ -27,6 +27,76 @@ class TestMultimodal:
             assert a["decoder"] == "stub-sha256"
             assert a["n_bytes"] > 0 and len(a["payload_sha256"]) == 64
 
+    def test_header_probe_parses_crafted_headers(self):
+        """The probe must recover exact dims from each supported format and
+        refuse truncated or bit-flipped payloads."""
+        from lightly_ocr_spark.operators.multimodal import (
+            make_gif,
+            make_jpeg,
+            make_png,
+            probe_image,
+        )
+
+        for maker, mime in [(make_png, "image/png"), (make_gif, "image/gif"),
+                            (make_jpeg, "image/jpeg")]:
+            p = probe_image(maker(640, 480, b"tail-bytes"))
+            assert p == {"mime": mime, "width": 640, "height": 480,
+                         "valid": True}, (mime, p)
+
+        # truncation: cut each crafted header before the dims land
+        assert not probe_image(make_png(640, 480)[:20])["valid"]
+        assert not probe_image(make_gif(640, 480)[:8])["valid"]
+        assert not probe_image(make_jpeg(640, 480)[:6])["valid"]
+        # PNG CRC: flip one width bit -> stored CRC no longer verifies
+        png = bytearray(make_png(640, 480))
+        png[16] ^= 0x01
+        assert not probe_image(bytes(png))["valid"]
+        # garbage / empty
+        assert not probe_image(b"not an image at all")["valid"]
+        assert not probe_image(b"")["valid"]
+        assert not probe_image(None)["valid"]
+
+    def test_probe_media_and_validity_filter(self, spark):
+        """Spark-side probe: every synthetic image validates with dims
+        matching its declared meta; a planted corrupt row is dropped by
+        valid_media (the decode-probe F7 analog)."""
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            make_png,
+            probe_media,
+            synthetic_media,
+            valid_media,
+        )
+
+        media = synthetic_media(spark, n=96)
+        images = media.filter(F.col("kind") == "image")
+        probes = {r["media_id"]: r for r in probe_media(images).collect()}
+        metas = {r["media_id"]: r["meta"] for r in images.collect()}
+        assert probes and all(p["valid"] for p in probes.values())
+        for mid, p in probes.items():
+            assert p["width"] == metas[mid]["width"]
+            assert p["height"] == metas[mid]["height"]
+            assert p["mime_detected"] == metas[mid]["mime"]
+
+        # plant: one truncated payload, one whose meta lies about the dims
+        bad = spark.createDataFrame(
+            [
+                (9001, "image", make_png(64, 48)[:20],
+                 {"width": 64, "height": 48, "sample_rate": None,
+                  "n_frames": None, "mime": "image/png"}),
+                (9002, "image", make_png(64, 48),
+                 {"width": 999, "height": 48, "sample_rate": None,
+                  "n_frames": None, "mime": "image/png"}),
+            ],
+            MEDIA_SCHEMA,
+        )
+        kept = valid_media(images.unionByName(bad))
+        ids = {r["media_id"] for r in kept.collect()}
+        assert 9001 not in ids and 9002 not in ids
+        assert ids == {r["media_id"] for r in images.collect()}
+
     def test_real_decoder_is_explicitly_stubbed(self):
         from lightly_ocr_spark.operators.multimodal import HAVE_PIL, decode_image
 

@@ -160,8 +160,9 @@ class TestDriverContract:
         assert set(oq) <= set(qs)
         # every SQL-expressible op has an oracle; rows-only are the known set
         assert set(qs) - set(oq) == {
-            "dd_minhash_pairs", "dd_simhash", "sim_lsh_topk", "sim_ivf_topk",
-            "x1_approx_aggregates", "ta_stratified_sample",
+            "dd_minhash_pairs", "dd_simhash",      # xxhash64 engine-specific
+            "x1_approx_aggregates",                # sketch estimates differ
+            "ta_stratified_sample",                # sampling RNG
         }
 
     def test_stratified_sample_fractions(self, spark):
