@@ -27,7 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lightly_ocr_spark.operators import dedup, similarity, textstats
-    from lightly_ocr_spark.operators.extract_udf import extract_documents_query
+    from lightly_ocr_spark.operators.extract_udf import (
+        extract_documents_query,
+        extract_pdf_query,
+    )
     from lightly_ocr_spark.plans import relational as R
     from lightly_ocr_spark.streaming.file_stream import streaming_event_counts
 
@@ -90,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_streaming_counts": streaming_event_counts,
         # flagship extraction (engine UDF with SQL-predictable oracle)
         "ex_extract_documents": extract_documents_query,
+        # PDF leg: typeset documents into real FlateDecode PDFs, re-extract
+        "ex_extract_pdf": extract_pdf_query,
     }
 
 
@@ -340,6 +345,15 @@ def oracle_sql() -> dict[str, str]:
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed "
         "FROM documents WHERE NOT regexp_matches(text, '[^ -~]')) "
         "SELECT 'doc://' || doc_id AS url, collapsed AS text, "
+        "sha256(collapsed) AS extract_sha256 FROM base "
+        "WHERE len(string_split(collapsed, ' ')) >= 8 "
+        "AND length(collapsed) >= 10"
+    )
+    ql["ex_extract_pdf"] = (
+        "WITH base AS (SELECT doc_id, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed "
+        "FROM documents WHERE NOT regexp_matches(text, '[^ -~]')) "
+        "SELECT 'pdf://' || doc_id AS url, collapsed AS text, "
         "sha256(collapsed) AS extract_sha256 FROM base "
         "WHERE len(string_split(collapsed, ' ')) >= 8 "
         "AND length(collapsed) >= 10"

@@ -93,3 +93,45 @@ def extract_documents_query(spark, sf_dir: str) -> DataFrame:
     predict the engine's output (and its sha256) exactly."""
     pages = documents_as_pages(spark, sf_dir)
     return extract_pages(pages).select("url", "text", "extract_sha256")
+
+
+def _pdf_roundtrip_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from lightly_ocr_spark.functions.pdf import extract_pdf_text, make_pdf
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "text": [extract_pdf_text(make_pdf(t)) for t in pdf["text"]],
+            }
+        )
+
+
+def extract_pdf_query(spark, sf_dir: str) -> DataFrame:
+    """The PDF leg of main-content extraction (north_rule "PDF/layout
+    parse"): documents are typeset into real one-page FlateDecode PDFs and
+    re-extracted — synthesis and extraction fused into ONE Arrow stage, no
+    intermediate binary column crossing the boundary twice.  Under the same
+    dense-ASCII-paragraph restriction as the HTML flagship, the extraction
+    contract reduces to whitespace collapse, so the DuckDB oracle predicts
+    output text and sha256 exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    d = d.filter(
+        ~F.col("text").rlike("[^ -~]")
+        & (F.size(F.split(collapsed, " ")) >= 8)
+        & (F.length(collapsed) >= 10)
+    )
+    pages = d.select(
+        F.concat(F.lit("pdf://"), F.col("doc_id")).alias("url"), "text"
+    )
+    out = pages.mapInPandas(
+        _pdf_roundtrip_partition, schema="url string, text string"
+    )
+    return out.select(
+        "url",
+        "text",
+        F.sha2(F.encode("text", "utf-8"), 256).alias("extract_sha256"),
+    )

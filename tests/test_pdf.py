@@ -1,0 +1,152 @@
+"""PDF extraction tests: operator-level decode semantics, corrupt-input
+safety, the make_pdf round-trip fuzz, and the fused Spark query."""
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightly_ocr_spark.functions.pdf import (
+    extract_pdf_text,
+    make_pdf,
+)
+
+
+def collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def wrap_pdf(content: bytes, filt: bytes = b"") -> bytes:
+    """Bare-bones PDF around one content stream (no xref — the extractor
+    must not need one)."""
+    return (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+class TestPdfOperators:
+    def test_tj_and_quote_operators(self):
+        pdf = wrap_pdf(b"BT (one) Tj (two) ' (three) \" ET")
+        assert extract_pdf_text(pdf) == "one two three"
+
+    def test_tj_array_concatenates_and_ignores_kerning(self):
+        pdf = wrap_pdf(b"BT [(Hel) -30 (lo) 12 ( wor) (ld)] TJ ET")
+        assert extract_pdf_text(pdf) == "Hello world"
+
+    def test_escapes_octal_and_specials(self):
+        pdf = wrap_pdf(rb"BT (a\(b\)c \\ d \110\111 e\tf) Tj ET")
+        assert extract_pdf_text(pdf) == "a(b)c \\ d HI e f"
+
+    def test_hex_strings(self):
+        pdf = wrap_pdf(b"BT <48656C6C6F> Tj <2077 6F72 6C6> Tj ET")
+        # odd final digit pads with 0: 0x6C,0x60 = "l`"
+        assert extract_pdf_text(pdf) == "Hello worl`"
+
+    def test_text_outside_bt_et_ignored(self):
+        pdf = wrap_pdf(b"(chrome) Tj BT (content) Tj ET (footer) Tj")
+        assert extract_pdf_text(pdf) == "content"
+
+    def test_inline_dict_skipped(self):
+        pdf = wrap_pdf(
+            b"BT /Span << /ActualText (alt) >> BDC (real) Tj EMC ET"
+        )
+        assert extract_pdf_text(pdf) == "real"
+
+    def test_multiple_blocks_newline_separated(self):
+        pdf = wrap_pdf(b"BT (para one) Tj ET BT (para two) Tj ET")
+        assert extract_pdf_text(pdf) == "para one\npara two"
+
+    def test_flate_stream_decodes(self):
+        content = zlib.compress(b"BT (squeezed) Tj ET")
+        pdf = wrap_pdf(content, filt=b" /Filter /FlateDecode")
+        assert extract_pdf_text(pdf) == "squeezed"
+
+    def test_unsupported_filter_skipped_not_raised(self):
+        pdf = wrap_pdf(b"\x00\x01garbage", filt=b" /Filter /DCTDecode")
+        assert extract_pdf_text(pdf) == ""
+
+    def test_corrupt_inputs_never_raise(self):
+        assert extract_pdf_text(None) == ""
+        assert extract_pdf_text(b"") == ""
+        assert extract_pdf_text(b"plain text, not pdf") == ""
+        assert extract_pdf_text(b"%PDF-1.4 truncated right here") == ""
+        whole = make_pdf("some words to be cut off midway through it all")
+        for cut in (10, 50, len(whole) // 2, len(whole) - 3):
+            extract_pdf_text(whole[:cut])  # must not raise
+        # bit-flip inside the compressed stream: skipped, empty result
+        broken = bytearray(whole)
+        broken[whole.find(b"stream\n") + 10] ^= 0xFF
+        assert extract_pdf_text(bytes(broken)) == ""
+
+    def test_unterminated_bt_keeps_text(self):
+        pdf = wrap_pdf(b"BT (kept despite missing ET) Tj")
+        assert extract_pdf_text(pdf) == "kept despite missing ET"
+
+
+class TestMakePdfRoundtrip:
+    def test_roundtrip_compressed_and_raw(self):
+        t = ("The quick brown fox jumps over the lazy dog near the "
+             "riverbank while (parenthetical) remarks and back\\slashes "
+             "survive typesetting.")
+        for comp in (True, False):
+            assert collapse(extract_pdf_text(make_pdf(t, compress=comp))) \
+                == collapse(t)
+
+    def test_roundtrip_unicode(self):
+        t = "héllo wörld — ünïcode ÿ prüfung ß über alles"
+        assert collapse(extract_pdf_text(make_pdf(t))) == collapse(t)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs", "Cc"),
+            ),
+            min_size=0,
+            max_size=400,
+        )
+    )
+    def test_fuzz_roundtrip_whitespace_canonical(self, t):
+        """For ANY text, extraction of its typeset PDF equals its
+        whitespace-canonical form (the same invariant the HTML engine's
+        23M-doc fuzz enforces, applied to the PDF leg)."""
+        assert extract_pdf_text(make_pdf(t)) == collapse(t)
+
+
+class TestPdfSparkQuery:
+    pytestmark = pytest.mark.spark
+
+    def test_query_matches_collapse_oracle(self, spark):
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.extract_udf import extract_pdf_query
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["url"]: r["text"]
+               for r in extract_pdf_query(spark, sf).collect()}
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text",
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("c"),
+        ).collect()
+        want = {
+            f"pdf://{r['doc_id']}": r["c"]
+            for r in docs
+            # same raw-text printable-ASCII gate the query applies
+            if all(" " <= ch <= "~" for ch in r["text"])
+            and len(r["c"].split()) >= 8 and len(r["c"]) >= 10
+        }
+        assert got == want
+
+    def test_single_python_stage(self, spark):
+        from tests.test_plan_shape import plan_of
+
+        from lightly_ocr_spark.operators.extract_udf import extract_pdf_query
+
+        plan = plan_of(
+            extract_pdf_query(spark, "/root/testdata/sf0.001"), mode="simple"
+        )
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan  # narrow end-to-end
