@@ -140,6 +140,42 @@ class TestPdfSparkQuery:
         }
         assert got == want
 
+    def test_mixed_corpus_routes_by_magic(self, spark):
+        """One extract_pages job over a corpus mixing HTML and PDF payloads
+        extracts both, preserving row identity — the north_rule's
+        multi-format main-content extraction in a single fused stage."""
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+
+        rows = [
+            ("html://1", None, b"<html><body><p>plain html paragraph with "
+                               b"enough words here to clear the density "
+                               b"gates comfortably</p></body></html>"),
+            ("pdf://1", None, make_pdf("typeset pdf paragraph with enough "
+                                       "words to pass any gate")),
+            ("html://2", None, b"<p>second html doc body text words "
+                               b"keep going longer</p>"),
+            ("pdf://2", None, make_pdf("second pdf body text words keep "
+                                       "going longer still")),
+            ("bad://1", None, b"%PDF-1.4 truncated"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        )
+        got = {r["url"]: r for r in extract_pages(pages).collect()}
+        assert got["pdf://1"]["text"] == ("typeset pdf paragraph with enough "
+                                          "words to pass any gate")
+        assert got["pdf://2"]["text"] == ("second pdf body text words keep "
+                                          "going longer still")
+        for u in ("html://1", "html://2"):
+            assert "html" in got[u]["text"]       # html engine ran
+        assert got["bad://1"]["text"] == ""        # corrupt pdf -> empty
+        # pdf spans cover the output text exactly, score 1.0
+        s = got["pdf://1"]["spans"]
+        assert len(s) == got["pdf://1"]["n_blocks"] == 1
+        assert s[0]["start"] == 0
+        assert s[0]["end"] == len(got["pdf://1"]["text"])
+        assert s[0]["score"] == 1.0
+
     def test_single_python_stage(self, spark):
         from tests.test_plan_shape import plan_of
 
