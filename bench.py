@@ -31,6 +31,8 @@ BENCH_QUERY_NAMES = [
     "dd_minhash_pairs",
     "sim_cosine_topk",
     "ex_extract_documents",
+    "ex_extract_pdf",
+    "dd_jaccard_words",
 ]
 
 
