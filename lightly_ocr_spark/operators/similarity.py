@@ -244,6 +244,54 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame, path: str, centroids: list[list[float]] | None = None
+) -> list[list[float]]:
+    """Materialize the IVF index: vectors tagged with their cell id,
+    written partitioned by `cell` — the one-time precomputation that turns
+    every subsequent probe into partition pruning instead of a scan.
+    Returns the codebook (persist it beside the index at scale)."""
+    centroids = centroids or ivf_centroids(df)
+    tagged = df.withColumn("cell", ivf_assign_col(F.col("embedding"), centroids))
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark: SparkSession, index_path: str, centroids: list[list[float]],
+    query: list[float], k: int = 10, nprobe: int = IVF_NPROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN over a persisted IVF index: the cell predicate is a PARTITION
+    filter on the index table (verified by plan-shape test), so the scan
+    touches only `nprobe` of the cells regardless of table size — the
+    10^12-vector query path the in-memory `ivf_topk` documents."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(
+            a * b for a, b in zip(centroids[i], query)
+        ) / (math.sqrt(sum(v * v for v in centroids[i])) or 1.0) / qn,
+    )
+    probe = [int(c) for c in scored[:nprobe]]
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
+    if exclude_vec_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_vec_id)
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    sims = idx.select(
+        "vec_id",
+        (_dot(F.col("embedding"), qcol)
+         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
 def lsh_bucket_index(df: DataFrame, planes=None) -> DataFrame:
     """Exploded (table, bucket, vec_id, embedding) ANN index.
 
@@ -254,6 +302,53 @@ def lsh_bucket_index(df: DataFrame, planes=None) -> DataFrame:
     return e.select(
         "vec_id", "embedding",
         F.posexplode("buckets").alias("table", "bucket"),
+    )
+
+
+def write_lsh_index(df: DataFrame, path: str, planes=None) -> None:
+    """Materialize the exploded LSH index partitioned by (table, bucket):
+    the one-time precomputation that turns every query's candidate fetch
+    into metadata-only partition pruning (L partitions touched of
+    L * 2^bits total) regardless of table size."""
+    lsh_bucket_index(df, planes).write.mode("overwrite").partitionBy(
+        "table", "bucket"
+    ).parquet(path)
+
+
+def lsh_topk_indexed(
+    spark: SparkSession, index_path: str, query: list[float],
+    k: int = 10, exclude_vec_id: int | None = None, planes=None,
+) -> DataFrame:
+    """ANN over a persisted LSH index: the query's L (table, bucket) keys
+    become a partition-only disjunction on the index scan (verified by
+    plan-shape test), followed by exact cosine rerank on the candidates."""
+    planes = planes or _planes()
+    qdf = spark.createDataFrame(
+        [(0, [float(v) for v in query])],
+        "vec_id long, embedding array<double>",
+    )
+    qkeys = [
+        (int(r["table"]), int(r["bucket"]))
+        for r in lsh_bucket_index(qdf, planes).select("table", "bucket").collect()
+    ]
+    pred = None
+    for t, b in qkeys:
+        cond = (F.col("table") == t) & (F.col("bucket") == b)
+        pred = cond if pred is None else (pred | cond)
+    idx = spark.read.parquet(index_path).filter(pred)
+    if exclude_vec_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_vec_id)
+    cand = idx.dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    sims = cand.select(
+        "vec_id",
+        (_dot(F.col("embedding"), qcol)
+         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+    )
+    return (
+        sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cosine_sim"))
     )
 
 

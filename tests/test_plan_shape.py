@@ -73,6 +73,54 @@ class TestPlanShape:
         assert "BatchEvalPython" not in plan   # no row-at-a-time Python
         assert "ArrowEvalPython" not in plan   # no Python at all here
 
+    def test_ivf_indexed_probe_is_partition_pruned(self, spark, tmp_path):
+        """The persisted IVF index is partitioned by cell, so a probe must
+        appear in the scan's PartitionFilters (metadata-only pruning) — and
+        return exactly what the in-memory ivf_topk computes."""
+        from lightly_ocr_spark.operators.similarity import (
+            _query_vec,
+            ivf_topk,
+            ivf_topk_indexed,
+            write_ivf_index,
+        )
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        path = str(tmp_path / "ivf_index")
+        cents = write_ivf_index(e, path)
+        q = _query_vec(spark, SF, 0)
+        got = ivf_topk_indexed(spark, path, cents, q, exclude_vec_id=0)
+
+        plan = plan_of(got)
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part and "cell" in part[0], plan[:800]
+
+        want = [tuple(r) for r in ivf_topk(spark, SF).collect()]
+        assert [tuple(r) for r in got.collect()] == want
+
+    def test_lsh_indexed_probe_is_partition_pruned(self, spark, tmp_path):
+        """Same for LSH: (table, bucket) are partition columns of the
+        persisted index, the query's L keys prune to L partitions, and the
+        result matches the join-based lsh_topk exactly."""
+        from lightly_ocr_spark.operators.similarity import (
+            _query_vec,
+            lsh_topk,
+            lsh_topk_indexed,
+            write_lsh_index,
+        )
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        path = str(tmp_path / "lsh_index")
+        write_lsh_index(e, path)
+        q = _query_vec(spark, SF, 0)
+        got = lsh_topk_indexed(spark, path, q, exclude_vec_id=0)
+
+        plan = plan_of(got)
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part and "table" in part[0] and "bucket" in part[0], plan[:800]
+
+        want = [tuple(r) for r in lsh_topk(spark, SF).collect()]
+        assert [tuple(r) for r in got.collect()] == want
+
     def test_lsh_candidate_fetch_is_bucket_join_not_full_scan(self, spark):
         """The ANN candidate fetch must be an equi-join against the exploded
         (table, bucket) index — NOT a full-table Filter with an OR-chain
