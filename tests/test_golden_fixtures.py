@@ -31,6 +31,23 @@ def test_engine_matches_frozen_goldens():
     assert checked == 1200
 
 
+def test_pdf_engine_matches_frozen_goldens():
+    """fixtures/golden_pdf.parquet freezes PAYLOAD BYTES + expected text
+    sha (frozen round 2).  Unlike the HTML goldens, the inputs themselves
+    are committed, so drift in either make_pdf or the extractor — even a
+    coordinated one — fails here unless the contract change is deliberate
+    (then regenerate in the same commit and say why)."""
+    golden = pd.read_parquet("fixtures/golden_pdf.parquet")
+    assert len(golden) == 284
+    from lightly_ocr_spark.functions.pdf import extract_pdf_text
+
+    for _, row in golden.iterrows():
+        sha = hashlib.sha256(
+            extract_pdf_text(bytes(row["payload"])).encode()
+        ).hexdigest()
+        assert sha == row["text_sha256"], row["url"]
+
+
 def test_oracle_matches_frozen_goldens():
     golden = pd.read_parquet(GOLDEN)
     by_url = dict(zip(golden["url"], golden["text_sha256"]))

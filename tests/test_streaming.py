@@ -26,6 +26,39 @@ class TestStreamingExtraction:
         # incremental triggers must not duplicate rows
         assert got.groupBy("url").count().filter("count > 1").count() == 0
 
+    def test_stream_extracts_mixed_html_pdf(self, spark, tmp_path):
+        """Magic-byte routing works identically under readStream: PDF rows
+        in a streamed pages directory extract via the PDF engine."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightly_ocr_spark.functions.pdf import make_pdf
+        from lightly_ocr_spark.streaming.extract_stream import extract_stream
+
+        texts = {
+            f"pdf://{i}": f"streamed pdf number {i} with plenty of words "
+                          f"to extract and verify"
+            for i in range(20)
+        }
+        pdf = pd.DataFrame(
+            {
+                "url": list(texts),
+                "warc_ts": pd.Series([None] * 20,
+                                     dtype="datetime64[us]"),
+                "html": [make_pdf(t) for t in texts.values()],
+                "text": [""] * 20,
+                "lang": ["en"] * 20,
+            }
+        )
+        d = tmp_path / "pdfpages"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(pdf), str(d / "a.parquet"))
+
+        got = {r["url"]: r["text"]
+               for r in extract_stream(spark, str(d)).collect()}
+        assert got == texts
+
     def test_streaming_counts_match_batch(self, spark):
         from pyspark.sql import functions as F
 
