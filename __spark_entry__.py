@@ -268,6 +268,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
         "AS n_tokens, "
+        "CAST(len(regexp_extract_all(trim(text), "
+        "' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) "
+        "AS n_bpe_tokens, "
         "CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS n_subword_est "
         "FROM documents"
     )

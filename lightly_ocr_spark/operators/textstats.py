@@ -31,8 +31,15 @@ def _occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree: a token is an optionally-space-prefixed letter run, digit
+# run, or symbol run; residual whitespace runs count as one token each.
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
 def token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword proxy (chars/4 ceil)."""
+    """Whitespace token count + BPE-ish pretokenizer count (regex matches,
+    JVM-side) + chars/4 subword estimate."""
     d = load(spark, sf, "documents")
     txt = F.trim(F.col("text"))
     return d.select(
@@ -41,6 +48,9 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.size(F.split(txt, r"\s+")))
         .cast("long")
         .alias("n_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.ceil(F.length(txt) / 4).cast("long").alias("n_subword_est"),
     )
 

@@ -1,0 +1,166 @@
+"""WARC ingest: Common-Crawl's native container format -> pages rows.
+
+Dependency-free ISO 28500 subset: splits a WARC (plain or gzip, including
+CC's per-record-gzip-member layout) into records, keeps ``WARC-Type:
+response``, takes ``WARC-Target-URI`` / ``WARC-Date``, and strips the HTTP
+envelope so the payload body lands in the ``html`` binary column — the
+front door a real CC pipeline needs before the Iceberg table exists
+(graft of the reference's ingest plane, `ingress/server.go` + the KV fetch
+`pipeline.py:106-112`, restated as a batch file source).
+
+Spark shape: `binaryFile` scan -> ONE `mapInPandas` that explodes each
+archive into page rows.  At 10^12 scale each WARC is ~1 GB and a task
+processes whole files; parallelism comes from the file count (CC publishes
+~72k WARCs per crawl), so there is no shuffle anywhere in ingest.
+Malformed records are skipped, never raised — a corrupt archive costs its
+own records only.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate ALL gzip members (CC writes one member per record)."""
+    out = bytearray()
+    while data[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out += d.decompress(data)
+        except zlib.error:
+            break
+        data = d.unused_data
+        if not data:
+            break
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def _strip_http_envelope(payload: bytes) -> bytes:
+    """response records carry an HTTP message; the body starts after the
+    first blank line.  Non-HTTP payloads pass through unchanged."""
+    if payload[:5] in (b"HTTP/", b"HTTP "):
+        sep = payload.find(b"\r\n\r\n")
+        if sep >= 0:
+            return payload[sep + 4:]
+    return payload
+
+
+def parse_warc(data: bytes | None) -> Iterator[dict]:
+    """WARC bytes -> dicts {url, warc_date, html} for response records."""
+    if not data:
+        return
+    if data[:2] == GZIP_MAGIC:
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            return
+        headers = _parse_headers(data[start:head_end])
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            return  # truncated archive: drop the partial record
+        if headers.get(b"warc-type") == b"response":
+            uri = headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace"
+            )
+            if uri:
+                yield {
+                    "url": uri,
+                    "warc_date": headers.get(b"warc-date", b"").decode(
+                        "ascii", "replace"
+                    ),
+                    "html": _strip_http_envelope(data[body_start:body_end]),
+                }
+        pos = body_end
+
+
+def _explode_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls, dates, payloads = [], [], []
+        for blob in pdf["content"]:
+            for rec in parse_warc(blob):
+                urls.append(rec["url"])
+                dates.append(rec["warc_date"] or None)
+                payloads.append(rec["html"])
+        yield pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_date": pd.Series(dates, dtype="object"),
+                "html": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+
+def warc_pages(spark, warc_dir: str):
+    """WARC directory -> pages(url, warc_ts, html), extraction-ready."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(warc_dir)
+    raw = files.select("content").mapInPandas(
+        _explode_partition,
+        schema="url string, warc_date string, html binary",
+    )
+    return raw.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_ts"),
+        "html",
+    )
+
+
+# --- deterministic synthesizer (tests; same philosophy as pdf.make_pdf) ---
+
+def make_warc_record(
+    url: str, payload: bytes, warc_type: str = "response",
+    date: str = "2020-01-01T00:00:00Z", http: bool = True,
+) -> bytes:
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        if http else payload
+    )
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    return head + body + b"\r\n\r\n"
+
+
+def make_warc(records: list[tuple[str, bytes]], gzip_members: bool = False,
+              **kw) -> bytes:
+    out = bytearray()
+    for url, payload in records:
+        rec = make_warc_record(url, payload, **kw)
+        if gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            rec = co.compress(rec) + co.flush()
+        out += rec
+    return bytes(out)

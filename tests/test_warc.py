@@ -1,0 +1,103 @@
+"""WARC ingest tests: record parsing, gzip-member handling, HTTP envelope
+stripping, corrupt-archive safety, and the Spark binaryFile -> pages ->
+extraction path over a mixed HTML+PDF archive."""
+
+import pytest
+
+from lightly_ocr_spark.functions.pdf import make_pdf
+from lightly_ocr_spark.sources.warc import (
+    make_warc,
+    make_warc_record,
+    parse_warc,
+)
+
+
+class TestWarcParsing:
+    def test_roundtrip_plain_and_gzip(self):
+        records = [
+            ("https://a.example/1", b"<p>doc one body</p>"),
+            ("https://b.example/2", b"<p>doc two body</p>"),
+        ]
+        for gz in (False, True):
+            got = list(parse_warc(make_warc(records, gzip_members=gz)))
+            assert [(r["url"], r["html"]) for r in got] == records
+            assert all(r["warc_date"] == "2020-01-01T00:00:00Z" for r in got)
+
+    def test_non_response_records_skipped(self):
+        data = (
+            make_warc_record("https://x/1", b"req", warc_type="request")
+            + make_warc_record("https://x/1", b"<p>resp</p>")
+            + make_warc_record("urn:warcinfo", b"info", warc_type="warcinfo")
+        )
+        got = list(parse_warc(data))
+        assert len(got) == 1 and got[0]["html"] == b"<p>resp</p>"
+
+    def test_http_envelope_stripped_only_when_present(self):
+        raw = make_warc_record("https://x/raw", b"%PDF-1.4 body", http=False)
+        got = list(parse_warc(raw))
+        assert got[0]["html"] == b"%PDF-1.4 body"
+
+    def test_corrupt_archives_never_raise(self):
+        whole = make_warc([("https://x/1", b"<p>ok</p>")])
+        assert list(parse_warc(None)) == []
+        assert list(parse_warc(b"")) == []
+        assert list(parse_warc(b"not a warc at all")) == []
+        # truncation at every prefix: partial record dropped, no exception
+        for cut in range(0, len(whole), 7):
+            list(parse_warc(whole[:cut]))
+        # bad content-length header
+        bad = whole.replace(b"Content-Length: ", b"Content-Length: x")
+        list(parse_warc(bad))
+        # truncated gzip member: no exception, no partial record
+        gz = make_warc([("https://x/1", b"<p>ok</p>")], gzip_members=True)
+        assert list(parse_warc(gz[: len(gz) // 2])) == []
+
+
+@pytest.mark.spark
+class TestWarcSpark:
+    def test_warc_dir_to_extracted_pages(self, spark, tmp_path):
+        """binaryFile scan -> explode -> fused extraction, over an archive
+        mixing HTML and PDF responses — the CC front door end-to-end."""
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+        from lightly_ocr_spark.sources.warc import warc_pages
+
+        html_body = (b"<html><body><p>warc html paragraph with enough "
+                     b"words to clear the density gates</p></body></html>")
+        pdf_text = "warc pdf paragraph with enough words to verify here"
+        archive = make_warc(
+            [
+                ("https://site.example/html", html_body),
+                ("https://site.example/pdf", make_pdf(pdf_text)),
+            ],
+            gzip_members=True,
+        )
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "part-00000.warc.gz").write_bytes(archive)
+
+        pages = warc_pages(spark, str(d))
+        rows = {r["url"]: r for r in pages.collect()}
+        assert set(rows) == {
+            "https://site.example/html", "https://site.example/pdf"
+        }
+        assert rows["https://site.example/html"]["warc_ts"] is not None
+
+        got = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
+        assert got["https://site.example/pdf"] == pdf_text
+        assert "warc html paragraph" in got["https://site.example/html"]
+
+    def test_ingest_plan_is_single_python_stage(self, spark, tmp_path):
+        from tests.test_plan_shape import plan_of
+
+        from lightly_ocr_spark.sources.warc import warc_pages
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "a.warc").write_bytes(
+            make_warc([("https://x/1", b"<p>body</p>")])
+        )
+        plan = plan_of(warc_pages(spark, str(d)), mode="simple")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan  # file-parallel, no shuffle
