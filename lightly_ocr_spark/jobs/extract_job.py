@@ -44,13 +44,14 @@ from lightly_ocr_spark.schemas import PAGES_SCHEMA
 MANIFEST_DIR = "_manifests"
 
 
-def _input_files(pages_path: str) -> list[str]:
+def _input_files(pages_path: str, input_format: str = "pages") -> list[str]:
+    pattern = "*.parquet" if input_format == "pages" else "*.warc*"
     if os.path.isdir(pages_path):
-        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(pages_path, pattern)))
     else:
         files = [pages_path]
     if not files:
-        raise FileNotFoundError(f"no parquet files under {pages_path}")
+        raise FileNotFoundError(f"no {pattern} files under {pages_path}")
     return files
 
 
@@ -68,6 +69,7 @@ def run_extract(
     salt_partitions: int | None = None,
     salt: bool = True,
     concurrent_slices: int = 4,
+    input_format: str = "pages",
 ) -> dict:
     """Run the extraction over all uncommitted slices; return job summary.
 
@@ -77,7 +79,7 @@ def run_extract(
     semantics are unchanged: each slice's manifest is written only after its
     own parquet write succeeds."""
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
-    slices = _slice_files(_input_files(pages_path), n_slices)
+    slices = _slice_files(_input_files(pages_path, input_format), n_slices)
     if salt_partitions is None:
         salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -90,7 +92,13 @@ def run_extract(
         if resume and os.path.exists(manifest_path):
             return None
         t0 = time.time()
-        pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
+        if input_format == "warc":
+            # CC front door: archives -> pages rows, file-parallel explode
+            from lightly_ocr_spark.sources.warc import warc_pages
+
+            pages = warc_pages(spark, files)
+        else:
+            pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
         # skew salting: spread any hot host across all partitions
         # (north_rule).  Extraction itself is row-local (input splits are
         # byte-uniform), so --no-salt skips the shuffle when no downstream
@@ -203,6 +211,8 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-salt", action="store_true")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--format", choices=("pages", "warc"), default="pages",
+                    help="input layout: pages parquet or raw WARC archives")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
@@ -211,6 +221,7 @@ def main() -> None:
     summary = run_extract(
         spark, args.pages, args.out, n_slices=args.slices,
         resume=not args.no_resume, salt=not args.no_salt,
+        input_format=args.format,
     )
     if args.verify:
         summary["verify"] = verify_extracted(spark, args.pages, args.out)

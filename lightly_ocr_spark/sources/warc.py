@@ -119,11 +119,12 @@ def _explode_partition(
         )
 
 
-def warc_pages(spark, warc_dir: str):
-    """WARC directory -> pages(url, warc_ts, html), extraction-ready."""
+def warc_pages(spark, warc_path: str | list[str]):
+    """WARC directory (or explicit file list) -> pages(url, warc_ts, html),
+    extraction-ready."""
     from pyspark.sql import functions as F
 
-    files = spark.read.format("binaryFile").load(warc_dir)
+    files = spark.read.format("binaryFile").load(warc_path)
     raw = files.select("content").mapInPandas(
         _explode_partition,
         schema="url string, warc_date string, html binary",

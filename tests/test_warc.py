@@ -88,6 +88,42 @@ class TestWarcSpark:
         assert got["https://site.example/pdf"] == pdf_text
         assert "warc html paragraph" in got["https://site.example/html"]
 
+    def test_extract_job_over_warc_input(self, spark, tmp_path):
+        """The production job consumes raw WARC archives directly
+        (--format warc): slices are archive subsets, manifests/resume
+        semantics identical to the parquet path."""
+        from lightly_ocr_spark.jobs.extract_job import (
+            read_extracted,
+            run_extract,
+        )
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        n_archives, per_archive = 4, 25
+        want_urls = set()
+        for a in range(n_archives):
+            recs = []
+            for i in range(per_archive):
+                url = f"https://h{a}.example/{i}"
+                body = (f"<p>warc job doc {a}-{i} with sufficient words to "
+                        f"clear every density gate in place</p>").encode()
+                recs.append((url, body))
+                want_urls.add(url)
+            (d / f"crawl-{a}.warc.gz").write_bytes(
+                make_warc(recs, gzip_members=True)
+            )
+
+        out = tmp_path / "extracted"
+        s = run_extract(spark, str(d), str(out), n_slices=2,
+                        input_format="warc")
+        assert s["slices"] == 2 and s["rows_out"] == len(want_urls)
+        got = read_extracted(spark, str(out))
+        assert {r["url"] for r in got.select("url").collect()} == want_urls
+        # resume: second run skips both committed slices
+        s2 = run_extract(spark, str(d), str(out), n_slices=2,
+                         input_format="warc")
+        assert s2["skipped"] == 2 and s2["run"] == 0
+
     def test_ingest_plan_is_single_python_stage(self, spark, tmp_path):
         from tests.test_plan_shape import plan_of
 
