@@ -77,12 +77,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_lang_id": textstats.lang_id,
         "ta_fingerprint": textstats.fingerprint,
         "ta_url_normalize": textstats.url_normalize,
+        "ta_host_cap": textstats.per_host_cap,
+        "ta_repetition": textstats.repetition_signals,
         "ta_stratified_sample": textstats.stratified_sample,  # rows-only
         # dedup
         "dd_exact": dedup.exact_dups,
         "dd_jaccard_words": dedup.jaccard_pairs,
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
         "dd_simhash": dedup.simhash_fingerprints,        # rows-only
+        "dd_decontaminate": dedup.decontaminate,
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_lsh_topk": similarity.lsh_topk,
@@ -303,6 +306,43 @@ def oracle_sql() -> dict[str, str]:
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5, "
         "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fp_sha256 FROM documents"
+    )
+    ql["ta_host_cap"] = (
+        "WITH hosts AS (SELECT doc_id, 'host' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.com' AS host FROM documents), "
+        "ranked AS (SELECT doc_id, host, CAST(row_number() OVER "
+        "(PARTITION BY host ORDER BY doc_id) AS INTEGER) AS host_rank "
+        "FROM hosts) "
+        "SELECT doc_id, host, host_rank FROM ranked WHERE host_rank <= 3"
+    )
+    ql["ta_repetition"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> length(x) > 0) AS ws FROM documents), "
+        "b AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2 THEN "
+        "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) "
+        "ELSE [] END AS bg FROM w), "
+        "t AS (SELECT doc_id, ws, bg, CASE WHEN len(bg) > 0 THEN "
+        "list_max(list_transform(list_distinct(bg), "
+        "x -> len(list_filter(bg, y -> y = x)))) ELSE 0 END AS tn FROM b) "
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+        "CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words, "
+        "round(len(list_distinct(ws)) / greatest(len(ws), 1), 6) "
+        "AS distinct_frac, "
+        "CAST(tn AS BIGINT) AS top_bigram_n, "
+        "round(tn / greatest(len(bg), 1), 6) AS top_bigram_frac FROM t"
+    )
+    ql["dd_decontaminate"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> length(x) > 0) AS ws FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(ws) - 13 + 2), i -> md5(array_to_string("
+        "ws[i:i+12], ' '))))) AS gram FROM w WHERE len(ws) >= 13), "
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5), "
+        "corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 100 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, gram FROM g "
+        "WHERE doc_id < 5) "
+        "SELECT c.doc_id, count(*) AS n_contaminated_grams "
+        "FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id"
     )
     ql["ta_url_normalize"] = (
         "WITH raw AS (SELECT doc_id, 'HTTPS://Host' || (doc_id % 7) || "

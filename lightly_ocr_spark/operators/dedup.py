@@ -212,3 +212,53 @@ def simhash(df: DataFrame) -> DataFrame:
 
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(load(spark, sf, "documents").select("doc_id", "text"))
+
+
+def decontaminate(
+    spark: SparkSession, sf: str, ngram: int = 13,
+    bench_max_id: int = 5, corpus_min_id: int = 100,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any `ngram`-gram
+    with a held-out benchmark set (the GPT-3-style 13-gram overlap rule for
+    keeping eval sets out of training data).
+
+    Fingerprint = md5 of the space-joined word n-gram — portable, so the
+    whole op is DuckDB-oracled end to end (unlike minhash's xxhash64).
+    Plan: two n-gram explodes + one equi-join on the fingerprint; the
+    benchmark side is tiny by construction (eval suites are small), so
+    Catalyst broadcasts it and the corpus never shuffles."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+        g = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - ngram + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, ngram))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            "doc_id", F.explode(F.array_distinct(g)).alias("gram")
+        )
+
+    bench = grams(d.filter(F.col("doc_id") < bench_max_id)).select(
+        "gram"
+    ).distinct()
+    # corpus = the id>=corpus_min_id docs PLUS planted copies of the
+    # benchmark docs (relabeled +10^6) — random synthetic text never shares
+    # a 13-gram by chance, so the planted rows are what the op must catch
+    planted = d.filter(F.col("doc_id") < bench_max_id).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = grams(
+        d.filter(F.col("doc_id") >= corpus_min_id).unionByName(planted)
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
