@@ -90,7 +90,8 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
     return verified.select(F.col("b").alias("url")).distinct()
 
 
-def run_curate(spark: SparkSession, pages_path: str, out_dir: str) -> dict:
+def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
+               host_cap: int | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -133,6 +134,20 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str) -> dict:
     drops = near_dup_drops(uniq.select("url", "text"))
     deduped = uniq.join(drops, "url", "left_anti")
 
+    if host_cap is not None:
+        # per-host flood guard: keep the first `host_cap` docs per host
+        # (deterministic by url).  The host-keyed window shuffle is
+        # semantically mandatory here — capping requires co-locating a
+        # host — and the rank filter bounds what any hot host contributes
+        # to every stage downstream.
+        host = F.regexp_extract("url", r"^[^:]+://([^/]+)", 1)
+        wh = Window.partitionBy(host).orderBy("url")
+        deduped = (
+            deduped.withColumn("_hr", F.row_number().over(wh))
+            .filter(F.col("_hr") <= host_cap)
+            .drop("_hr")
+        )
+
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
     enriched = enrich_pages(deduped)  # langid + fluency, one Arrow crossing
     curated = (
@@ -148,6 +163,7 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str) -> dict:
         "extracted_nonempty": n_extracted,
         "after_exact_dedup": n_unique,
         "after_near_dedup_and_quality": int(obs_cur.get["n"]),
+        "host_cap": host_cap,
         "min_tokens": MIN_TOKENS,
         "wall_s": round(time.time() - t0, 3),
     }
@@ -164,12 +180,16 @@ def main() -> None:
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--host-cap", type=int, default=None,
+                    help="keep at most K docs per host (off by default)")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
 
     spark = build_session("curate-job", cores=args.cores, python_heavy=True)
-    print(json.dumps(run_curate(spark, args.pages, args.out)))
+    print(json.dumps(
+        run_curate(spark, args.pages, args.out, host_cap=args.host_cap)
+    ))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,38 @@ class TestCurateJob:
         assert n_lang >= int(0.9 * n)
 
 
+class TestHostCap:
+    def test_host_cap_bounds_every_host(self, spark, pages_dir, tmp_path):
+        """--host-cap K: no host contributes more than K docs to the
+        curated output (the zipf-hot synthetic hosts exceed K without it)."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+
+        out = str(tmp_path / "curated_capped")
+        cap = 5
+        m = run_curate(spark, pages_dir, out, host_cap=cap)
+        assert m["host_cap"] == cap
+
+        curated = spark.read.parquet(os.path.join(out, "data"))
+        per_host = (
+            curated.select(
+                F.regexp_extract("url", r"^[^:]+://([^/]+)", 1).alias("host")
+            )
+            .groupBy("host").count()
+        )
+        assert per_host.filter(F.col("count") > cap).count() == 0
+        # and without the cap the hot hosts DO exceed it (guard is real)
+        out2 = str(tmp_path / "curated_uncapped")
+        run_curate(spark, pages_dir, out2)
+        uncapped = spark.read.parquet(os.path.join(out2, "data"))
+        over = (
+            uncapped.select(
+                F.regexp_extract("url", r"^[^:]+://([^/]+)", 1).alias("host")
+            )
+            .groupBy("host").count().filter(F.col("count") > cap).count()
+        )
+        assert over > 0
+
+
 class TestLangId:
     def test_accuracy_vs_corpus_truth(self, spark, pages_dir):
         from pyspark.sql import functions as F
