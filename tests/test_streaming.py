@@ -81,6 +81,63 @@ class TestStreamingExtraction:
         assert stream == batch
 
 
+class TestWindowedWatermark:
+    def test_late_events_dropped_and_windows_finalize(self, spark, tmp_path):
+        """Watermark semantics, deterministic: batch 1 carries events for
+        two 5-minute windows (watermark advances to max-5min at batch end);
+        batch 2 carries one fresh event (advancing the watermark past both
+        windows, finalizing them) plus one event OLDER than the watermark,
+        which must be dropped — the closed window's count excludes it."""
+        import datetime as dt
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightly_ocr_spark.streaming.windowed import (
+            windowed_event_counts,
+        )
+
+        t0 = dt.datetime(2020, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        def write(path, minutes_list):
+            # tz-aware -> parquet TIMESTAMP (watermarks reject TIMESTAMP_NTZ)
+            pdf = pd.DataFrame(
+                {"ts": pd.Series([ts(m) for m in minutes_list],
+                                 dtype="datetime64[us, UTC]")}
+            )
+            pq.write_table(pa.Table.from_pandas(pdf), path)
+
+        d = tmp_path / "events_stream"
+        d.mkdir()
+        # batch 1: 3 events in [10:00,10:05), 2 in [10:05,10:10), 1 in
+        # [10:10,10:15) — watermark after the batch = 10:11-5min = 10:06
+        write(str(d / "a.parquet"), [0, 1, 2, 5, 9, 11])
+        # batch 2: a fresh event at 10:20 -> watermark advances to 10:15,
+        # closing all three earlier windows (emitted in append mode)
+        write(str(d / "b.parquet"), [20])
+        # batch 3: one LATE event at 10:01 — its window closed a batch ago;
+        # the watermark must drop it, not re-open or corrupt the window
+        write(str(d / "c.parquet"), [1])
+        import os
+        import time
+        # file-source processes oldest-mtime first: force the batch order
+        now = time.time()
+        os.utime(str(d / "a.parquet"), (now - 100, now - 100))
+        os.utime(str(d / "b.parquet"), (now - 50, now - 50))
+
+        out = windowed_event_counts(spark, str(d))
+        got = {
+            (r["window_start"].minute, r["window_end"].minute): r["n"]
+            for r in out.collect()
+        }
+        # finalized windows only; (0,5) reads 4 if the late event leaks in
+        assert got == {(0, 5): 3, (5, 10): 2, (10, 15): 1}, got
+
+
 class TestStatefulDedup:
     def test_cross_batch_dedup(self, spark, tmp_path):
         import pandas as pd
