@@ -46,3 +46,60 @@ def extract_stream(
     return spark.createDataFrame(
         rows, schema="url string, text string, extract_sha256 string"
     )
+
+
+def extract_stream_job(
+    spark: SparkSession, pages_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+) -> dict:
+    """Exactly-once streaming extraction sink: `foreachBatch` writes each
+    epoch's rows to `epoch=K/` idempotently (mode=overwrite re-runs a
+    half-written epoch cleanly) and commits a per-epoch manifest AFTER the
+    write — the streaming twin of the batch job's slice/manifest discipline.
+
+    Restart semantics come from the checkpoint: a restarted query resumes
+    from the last committed offsets, re-processing at most the one epoch
+    whose write raced the failure, which the overwrite absorbs.  Run to
+    completion of currently-available files; returns a summary."""
+    import json as _json
+    import os as _os
+
+    batch_schema = spark.read.parquet(pages_dir).schema
+    stream_pages = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_dir)
+    )
+    extracted = extract_pages(stream_pages).select(
+        "url", "text", "extract_sha256"
+    )
+    manifests_dir = _os.path.join(out_dir, "_manifests")
+    _os.makedirs(manifests_dir, exist_ok=True)
+
+    def write_epoch(df, epoch_id: int) -> None:
+        path = _os.path.join(out_dir, f"epoch={epoch_id}")
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        manifest = {"epoch": int(epoch_id), "rows": int(n)}
+        tmp = _os.path.join(manifests_dir, f"epoch-{epoch_id}.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, tmp[:-4])
+
+    q = (
+        extracted.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    manifests = sorted(_glob.glob(_os.path.join(manifests_dir, "epoch-*.json")))
+    total = 0
+    for m in manifests:
+        with open(m) as f:
+            total += _json.load(f)["rows"]
+    return {"epochs": len(manifests), "rows_out": total}

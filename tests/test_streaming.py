@@ -81,6 +81,58 @@ class TestStreamingExtraction:
         assert stream == batch
 
 
+class TestExactlyOnceStreamSink:
+    def test_checkpoint_restart_no_duplicates(self, spark, tmp_path):
+        """foreachBatch sink: run, restart with the same checkpoint (no-op),
+        add a file, restart again — every url lands exactly once across all
+        epochs, and manifests account for every committed row."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightly_ocr_spark.streaming.extract_stream import (
+            extract_stream_job,
+        )
+
+        def write_pages(path, lo, hi):
+            pdf = pd.DataFrame(
+                {
+                    "url": [f"https://h/{i}" for i in range(lo, hi)],
+                    "warc_ts": pd.Series([None] * (hi - lo),
+                                         dtype="datetime64[us]"),
+                    "html": [
+                        (f"<p>streamed doc {i} with plenty of words to "
+                         f"extract here now</p>").encode()
+                        for i in range(lo, hi)
+                    ],
+                    "text": [""] * (hi - lo),
+                    "lang": ["en"] * (hi - lo),
+                }
+            )
+            pq.write_table(pa.Table.from_pandas(pdf), path)
+
+        d = tmp_path / "pages"
+        d.mkdir()
+        for k in range(4):
+            write_pages(str(d / f"{k}.parquet"), k * 10, (k + 1) * 10)
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+
+        s1 = extract_stream_job(spark, str(d), out, cp)
+        assert s1["rows_out"] == 40
+        # restart with nothing new: no duplicate work
+        s2 = extract_stream_job(spark, str(d), out, cp)
+        assert s2["rows_out"] == 40
+        # late-arriving file, same checkpoint: only the delta is processed
+        write_pages(str(d / "late.parquet"), 100, 110)
+        s3 = extract_stream_job(spark, str(d), out, cp)
+        assert s3["rows_out"] == 50
+
+        got = spark.read.parquet(f"{out}/epoch=*")
+        assert got.count() == 50
+        assert got.groupBy("url").count().filter("count > 1").count() == 0
+
+
 class TestWindowedWatermark:
     def test_late_events_dropped_and_windows_finalize(self, spark, tmp_path):
         """Watermark semantics, deterministic: batch 1 carries events for
