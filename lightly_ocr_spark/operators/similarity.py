@@ -244,6 +244,45 @@ def ivf_topk(
     )
 
 
+def ivf_centroids_kmeans(
+    df: DataFrame, n: int = IVF_CENTROIDS, iters: int = 3
+) -> list[list[float]]:
+    """Lloyd-refined IVF codebook, DataFrame-native: seed with the
+    deterministic first-`n` vectors, then `iters` rounds of
+    assign (JVM expression argmax) -> per-cell mean (groupBy over the
+    element-exploded embedding) -> driver-collect of n new centroids.
+
+    Per iteration the driver pulls exactly n * dim doubles (bounded,
+    independent of table size); all heavy work is one shuffle keyed by
+    (cell, dim position).  Deterministic: fixed seed vectors, fixed
+    iteration count, floating-point reductions over a fixed partitioning
+    are still engine-stable enough for the recall gate (the codebook is an
+    index-quality knob, not a correctness surface)."""
+    cents = ivf_centroids(df, n)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_assign_col(F.col("embedding"), cents).alias("cell"),
+            F.col("embedding"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("embedding")
+                            .alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("vec"))
+            .select("cell", F.transform("vec", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [float(x) for x in r["c"]] for r in means}
+        # empty cells keep their previous centroid (stable codebook size)
+        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+        assert all(len(c) == dim for c in cents)
+    return cents
+
+
 def write_ivf_index(
     df: DataFrame, path: str, centroids: list[list[float]] | None = None
 ) -> list[list[float]]:

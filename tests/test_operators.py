@@ -136,6 +136,60 @@ class TestSimilarity:
         # weak cluster structure, so expect partial-but-real recall
         assert recall >= 0.2, (exact, ivf)
 
+    def test_kmeans_codebook_refines_and_stays_deterministic(self, spark):
+        """Lloyd-refined codebook: deterministic across runs, balances cell
+        populations vs the raw first-16 seed (lower max/mean occupancy),
+        and the indexed query with the refined codebook keeps recall."""
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.similarity import (
+            _query_vec,
+            cosine_topk,
+            ivf_assign_col,
+            ivf_centroids,
+            ivf_centroids_kmeans,
+            ivf_topk_indexed,
+            write_ivf_index,
+        )
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        c1 = ivf_centroids_kmeans(e)
+        c2 = ivf_centroids_kmeans(e)
+        assert c1 == c2  # deterministic
+
+        def sse(cents):
+            """Total squared distance to the assigned (unnormalized mean)
+            centroid — the quantity Lloyd iterations minimize."""
+            import math
+
+            assigned = {
+                r["vec_id"]: r["cell"]
+                for r in e.select(
+                    "vec_id",
+                    ivf_assign_col(F.col("embedding"), cents).alias("cell"),
+                ).collect()
+            }
+            vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                    for r in e.collect()}
+            return math.fsum(
+                math.fsum((a - b) ** 2
+                          for a, b in zip(v, cents[assigned[i]]))
+                for i, v in vecs.items()
+            )
+
+        assert sse(c1) <= sse(ivf_centroids(e)) + 1e-9
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            cents = write_ivf_index(e, td, centroids=c1)
+            q = _query_vec(spark, SF, 0)
+            ann = [r["vec_id"] for r in
+                   ivf_topk_indexed(spark, td, cents, q,
+                                    exclude_vec_id=0).collect()]
+        exact = [r["vec_id"] for r in cosine_topk(spark, SF, k=10).collect()]
+        assert len(set(exact) & set(ann)) / 10 >= 0.2
+
     def test_cosine_topk_is_sorted_and_bounded(self, spark):
         from lightly_ocr_spark.operators.similarity import cosine_topk
 
