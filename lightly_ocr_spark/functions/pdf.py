@@ -163,6 +163,12 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
     return raw, min(end + 1, len(data))
 
 
+def _is_number(tok: bytes) -> bool:
+    """PDF numeric operand: digits with optional sign/decimal point."""
+    t = tok.lstrip(b"+-")
+    return bool(t) and all(c in b"0123456789." for c in t)
+
+
 def _skip_dict(data: bytes, i: int) -> int:
     """Skip a << .. >> dictionary (balanced), starting at the first '<'."""
     depth = 0
@@ -186,7 +192,8 @@ def _text_blocks(content: bytes) -> list[list[bytes]]:
     blocks: list[list[bytes]] = []
     cur: list[bytes] | None = None
     last_string: bytes | None = None
-    arr: list[bytes] | None = None
+    arr: list[bytes] | None = None       # open [ ... ] being collected
+    last_array: list[bytes] | None = None  # most recently closed array
     i = 0
     n = len(content)
     while i < n:
@@ -200,6 +207,8 @@ def _text_blocks(content: bytes) -> list[list[bytes]]:
             s, i = _parse_literal(content, i)
             if arr is not None:
                 arr.append(s)
+            else:
+                last_array = None  # anything between ] and TJ voids it
             last_string = s
         elif c == 0x3C:  # '<': dict or hex string
             if content[i:i + 2] == b"<<":
@@ -208,11 +217,15 @@ def _text_blocks(content: bytes) -> list[list[bytes]]:
                 s, i = _parse_hex(content, i)
                 if arr is not None:
                     arr.append(s)
+                else:
+                    last_array = None
                 last_string = s
         elif c == 0x5B:  # [
             arr = []
             i += 1
-        elif c == 0x5D:  # ]
+        elif c == 0x5D:  # ]  — close: only a CLOSED array may feed TJ
+            last_array = arr
+            arr = None
             i += 1
         elif c == 0x2F:  # /name
             i += 1
@@ -235,9 +248,14 @@ def _text_blocks(content: bytes) -> list[list[bytes]]:
                 if cur is not None and last_string is not None:
                     cur.append(last_string)
             elif tok == b"TJ":
-                if cur is not None and arr:
-                    cur.append(b"".join(arr))
-                arr = None
+                if cur is not None and last_array:
+                    cur.append(b"".join(last_array))
+            if tok and not _is_number(tok):
+                # any non-numeric token other than the ] itself sits between
+                # the array and a later TJ — TJ must not replay it then
+                # (numbers are legitimate operands, e.g. `0 -14 Td`... but a
+                # Td between ] and TJ is an operator and voids the array)
+                last_array = None
             i = j if j > i else i + 1
     if cur:
         blocks.append(cur)  # unterminated BT: keep the text

@@ -44,6 +44,14 @@ class TestPdfOperators:
         # odd final digit pads with 0: 0x6C,0x60 = "l`"
         assert extract_pdf_text(pdf) == "Hello worl`"
 
+    def test_tj_without_preceding_array_shows_nothing_stale(self):
+        """A TJ with no freshly-closed array must not replay an earlier
+        array (strings seen after `]` used to pollute the closed array)."""
+        pdf = wrap_pdf(b"BT [(first)] Td (solo) Tj TJ ET")
+        assert extract_pdf_text(pdf) == "solo"
+        pdf2 = wrap_pdf(b"BT [(arr)] TJ (post) Tj TJ ET")
+        assert extract_pdf_text(pdf2) == "arr post"
+
     def test_text_outside_bt_et_ignored(self):
         pdf = wrap_pdf(b"(chrome) Tj BT (content) Tj ET (footer) Tj")
         assert extract_pdf_text(pdf) == "content"
