@@ -42,7 +42,10 @@ import zlib
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM_RE = re.compile(rb"stream\r?\n")
+# negative lookbehind: 'endstream\n' contains 'stream\n' — matching it
+# would fabricate a pseudo-stream spanning into the NEXT object and
+# duplicate its text (reproduced on uncompressed two-stream PDFs)
+_STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
 _OBJ_BREAK_RE = re.compile(rb"endobj|endstream")
 
 _ESCAPES = {
@@ -80,8 +83,13 @@ def _content_streams(payload: bytes) -> list[bytes]:
         else:
             data = raw
         # the stream dict sits between the previous object boundary and
-        # the `stream` keyword — never scan past our own object
-        head = _OBJ_BREAK_RE.split(payload[max(0, m.start() - 512):m.start()])[-1]
+        # the `stream` keyword — never scan past our own object.  64 KB
+        # window: real dicts (long /DecodeParms, metadata) can exceed a
+        # few hundred bytes, and missing /Filter here silently token-scans
+        # raw deflate bytes as text
+        head = _OBJ_BREAK_RE.split(
+            payload[max(0, m.start() - 65536):m.start()]
+        )[-1]
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 continue          # unsupported filter: skip, don't guess

@@ -224,7 +224,14 @@ def main() -> None:
         input_format=args.format,
     )
     if args.verify:
-        summary["verify"] = verify_extracted(spark, args.pages, args.out)
+        if args.format == "warc":
+            # WARC input carries no golden text column to compare against
+            summary["verify"] = {
+                "skipped": "no golden text in warc input; "
+                "use pages parquet for the byte-identity check"
+            }
+        else:
+            summary["verify"] = verify_extracted(spark, args.pages, args.out)
     print(json.dumps(summary))
 
 

@@ -179,19 +179,25 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 
 def valid_media(media: DataFrame) -> DataFrame:
-    """F7-analog validity filter: keep rows whose payload header parses AND
-    whose parsed dimensions agree with the declared metadata (a lying
-    `meta.width` is as disqualifying as a truncated payload)."""
-    probes = probe_media(media).filter(F.col("valid"))
-    return (
-        media.join(probes.select("media_id", "width", "height"), "media_id")
+    """F7-analog validity filter for IMAGE rows: keep images whose payload
+    header parses AND whose parsed dimensions agree with the declared
+    metadata (a lying `meta.width` is as disqualifying as a truncated
+    payload).  Non-image kinds (audio/video) pass through untouched —
+    the probe only understands image formats, so failing them would
+    silently drop every valid audio/video row."""
+    images = media.filter(F.col("kind") == "image")
+    others = media.filter(F.col("kind") != "image")
+    probes = probe_media(images).filter(F.col("valid"))
+    kept_images = (
+        images.join(probes.select("media_id", "width", "height"), "media_id")
         .filter(
             (F.col("meta.width").isNull() | (F.col("meta.width") == F.col("width")))
             & (F.col("meta.height").isNull()
                | (F.col("meta.height") == F.col("height")))
         )
-        .select(media["*"])
+        .select(images["*"])
     )
+    return kept_images.unionByName(others)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

@@ -131,8 +131,10 @@ def warc_pages(spark, warc_path: str | list[str]):
     )
     return raw.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("warc_ts"),
+        # try_cast parses ISO 8601 with or without fractional seconds
+        # (WARC 1.1 allows sub-second WARC-Date) and NULLs malformed input
+        # instead of raising under ANSI mode
+        F.col("warc_date").try_cast("timestamp").alias("warc_ts"),
         "html",
     )
 

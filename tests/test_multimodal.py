@@ -97,6 +97,14 @@ class TestMultimodal:
         assert 9001 not in ids and 9002 not in ids
         assert ids == {r["media_id"] for r in images.collect()}
 
+        # audio/video rows pass through — the image probe must not judge
+        # payloads it cannot parse (round-2 review finding: every valid
+        # audio/video row was silently dropped)
+        kept_all = valid_media(media)
+        assert {r["media_id"] for r in kept_all.collect()} == {
+            r["media_id"] for r in media.collect()
+        }
+
     def test_real_decoder_is_explicitly_stubbed(self):
         from lightly_ocr_spark.operators.multimodal import HAVE_PIL, decode_image
 

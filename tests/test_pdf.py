@@ -88,6 +88,30 @@ class TestPdfOperators:
         broken[whole.find(b"stream\n") + 10] ^= 0xFF
         assert extract_pdf_text(bytes(broken)) == ""
 
+    def test_two_uncompressed_streams_no_duplication(self):
+        """'endstream\\n' must not match as a stream opener: with two raw
+        content streams the second block used to extract twice."""
+        pdf = (
+            b"%PDF-1.4\n4 0 obj\n<< /Length 26 >>\nstream\n"
+            b"BT (first stream text) Tj ET\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Length 27 >>\nstream\n"
+            b"BT (second stream text) Tj ET\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == "first stream text\nsecond stream text"
+
+    def test_long_dict_flate_stream_still_decodes(self):
+        """/Filter lookup must survive a dict longer than a few hundred
+        bytes (long /DecodeParms etc.) — it used to scan only 512 bytes
+        back and token-scan the raw deflate bytes as text."""
+        content = zlib.compress(b"BT (big dict payload) Tj ET")
+        pad = b"/X" + b"a" * 1200 + b" 0 "
+        pdf = (
+            b"%PDF-1.4\n4 0 obj\n<< " + pad + b"/Length "
+            + str(len(content)).encode() + b" /Filter /FlateDecode "
+            b">>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == "big dict payload"
+
     def test_unterminated_bt_keeps_text(self):
         pdf = wrap_pdf(b"BT (kept despite missing ET) Tj")
         assert extract_pdf_text(pdf) == "kept despite missing ET"

@@ -77,12 +77,21 @@ class TestWarcSpark:
         d.mkdir()
         (d / "part-00000.warc.gz").write_bytes(archive)
 
+        # WARC 1.1 allows fractional-second dates; parsing must keep them
+        (d / "frac.warc").write_bytes(
+            make_warc_record("https://site.example/frac", b"<p>f</p>",
+                             date="2023-05-01T12:00:00.123Z")
+        )
+
         pages = warc_pages(spark, str(d))
         rows = {r["url"]: r for r in pages.collect()}
         assert set(rows) == {
-            "https://site.example/html", "https://site.example/pdf"
+            "https://site.example/html", "https://site.example/pdf",
+            "https://site.example/frac",
         }
         assert rows["https://site.example/html"]["warc_ts"] is not None
+        frac_ts = rows["https://site.example/frac"]["warc_ts"]
+        assert frac_ts is not None and frac_ts.microsecond == 123000
 
         got = {r["url"]: r["text"] for r in extract_pages(pages).collect()}
         assert got["https://site.example/pdf"] == pdf_text

@@ -23,9 +23,12 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = load(sys.argv[1]), load(sys.argv[2])
-    print(f"headline {old.get('metric')}: "
-          f"{old.get('value')} -> {new.get('value')} "
-          f"({(new.get('value', 0) / (old.get('value') or 1) - 1) * 100:+.1f}%)")
+    ov, nv = old.get("value"), new.get("value")
+    if ov and nv:
+        head = f"{ov} -> {nv} ({(nv / ov - 1) * 100:+.1f}%)"
+    else:
+        head = f"{ov} -> {nv} (missing value{'s' if not (ov or nv) else ''})"
+    print(f"headline {old.get('metric')}: {head}")
     print()
     print("| query | old (s) | new (s) | delta |")
     print("|---|---|---|---|")
