@@ -91,7 +91,8 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
 
 
 def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
-               host_cap: int | None = None) -> dict:
+               host_cap: int | None = None,
+               input_format: str = "pages") -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -106,10 +107,13 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     obs_in = Observation("curate-input")
     obs_ex = Observation("curate-extracted")
     obs_cur = Observation("curate-out")
-    pages = (
-        spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
-        .observe(obs_in, F.count(F.lit(1)).alias("n"))
-    )
+    if input_format == "warc":
+        from lightly_ocr_spark.sources.warc import warc_pages
+
+        raw_pages = warc_pages(spark, pages_path)
+    else:
+        raw_pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+    pages = raw_pages.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
     extracted = extract_pages(pages, keep_empty=False).select(
         "url", "warc_ts", "text", "n_blocks", "extract_sha256"
@@ -182,13 +186,16 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--host-cap", type=int, default=None,
                     help="keep at most K docs per host (off by default)")
+    ap.add_argument("--format", choices=("pages", "warc"), default="pages",
+                    help="input layout: pages parquet or raw WARC archives")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
 
     spark = build_session("curate-job", cores=args.cores, python_heavy=True)
     print(json.dumps(
-        run_curate(spark, args.pages, args.out, host_cap=args.host_cap)
+        run_curate(spark, args.pages, args.out, host_cap=args.host_cap,
+                   input_format=args.format)
     ))
 
 

@@ -133,6 +133,30 @@ class TestWarcSpark:
                          input_format="warc")
         assert s2["skipped"] == 2 and s2["run"] == 0
 
+    def test_curate_job_over_warc_input(self, spark, tmp_path):
+        """Crawl-to-curated in one job: WARC archives in, deduped/quality-
+        gated text table out, stage counts intact."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        recs = []
+        for i in range(30):
+            recs.append((
+                f"https://c{i % 3}.example/{i}",
+                (f"<p>curated warc doc {i} body with sufficient words to "
+                 f"clear the quality gate easily today</p>").encode(),
+            ))
+        # plant one exact duplicate pair (same body, losing url sorts later)
+        recs.append(("https://zz.example/dup", recs[0][1]))
+        (d / "a.warc.gz").write_bytes(make_warc(recs, gzip_members=True))
+
+        out = tmp_path / "curated"
+        m = run_curate(spark, str(d), str(out), input_format="warc")
+        assert m["input_pages"] == 31
+        assert m["after_exact_dedup"] == 30          # planted dup collapsed
+        assert 0 < m["after_near_dedup_and_quality"] <= 30
+
     def test_ingest_plan_is_single_python_stage(self, spark, tmp_path):
         from tests.test_plan_shape import plan_of
 
