@@ -140,17 +140,14 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
 
     if host_cap is not None:
         # per-host flood guard: keep the first `host_cap` docs per host
-        # (deterministic by url).  The host-keyed window shuffle is
-        # semantically mandatory here — capping requires co-locating a
-        # host — and the rank filter bounds what any hot host contributes
-        # to every stage downstream.
+        # (deterministic by url), via the sharded two-phase cap so a
+        # zipf-hot host never serializes into one window-sort task
+        from lightly_ocr_spark.operators.textstats import host_cap_df
+
         host = F.regexp_extract("url", r"^[^:]+://([^/]+)", 1)
-        wh = Window.partitionBy(host).orderBy("url")
-        deduped = (
-            deduped.withColumn("_hr", F.row_number().over(wh))
-            .filter(F.col("_hr") <= host_cap)
-            .drop("_hr")
-        )
+        deduped = host_cap_df(
+            deduped.withColumn("host", host), order_col="url", cap=host_cap
+        ).drop("host", "host_rank")
 
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
     enriched = enrich_pages(deduped)  # langid + fluency, one Arrow crossing

@@ -117,29 +117,48 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def per_host_cap(spark: SparkSession, sf: str, cap: int = 3) -> DataFrame:
+def per_host_cap(spark: SparkSession, sf: str, cap: int = 3,
+                 shards: int = 8) -> DataFrame:
     """Per-host document cap — the standard CC curation guard against one
     domain flooding the corpus: keep the first `cap` docs per host
     (deterministic order), emit host + rank for auditability.
 
-    Plan: one window shuffle keyed by host.  At 10^12 docs the host key is
-    zipf-skewed, but the cap itself bounds the damage: rank > cap rows are
-    filtered before any downstream stage, and the window's sort per host
-    key is what salting can't fix anyway (capping REQUIRES co-locating a
-    host) — so this is the one operator where the host-keyed shuffle is
-    semantically mandatory, documented as such."""
+    Two-phase plan, skew-proof: phase 1 windows over (host, shard) where
+    shard = crc32(key) % shards, keeping `cap` per shard — the survivor set
+    per host is at most cap*shards rows and provably contains the true
+    first-`cap` (each shard keeps its own smallest keys).  Phase 2 runs the
+    exact window on survivors only.  A zipf-hot host with 10^9 docs costs
+    one 10^9-row sort in the naive single-window plan; here its phase-1
+    work spreads over `shards` tasks and phase 2 sorts cap*shards rows.
+    Results are identical to the single window (asserted in tests), so the
+    DuckDB oracle stays the plain window form."""
     d = load(spark, sf, "documents")
     url = F.concat(
         F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".example.com/"), F.col("doc_id").cast("string"),
     )
     host = F.regexp_extract(url, r"^[^:]+://([^/]+)", 1)
+    return host_cap_df(
+        d.select("doc_id", host.alias("host")),
+        order_col="doc_id", cap=cap, shards=shards,
+    )
+
+
+def host_cap_df(d: DataFrame, order_col: str, cap: int,
+                shards: int = 8) -> DataFrame:
+    """Core two-phase per-host cap over (host, <order_col>, ...) rows."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(host).orderBy(F.col("doc_id"))
+    shard = F.crc32(F.col(order_col).cast("string")) % shards
+    w1 = Window.partitionBy("host", shard).orderBy(F.col(order_col))
+    survivors = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(F.col(order_col))
     return (
-        d.select("doc_id", host.alias("host"))
-        .withColumn("host_rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("host_rank", F.row_number().over(w2).cast("int"))
         .filter(F.col("host_rank") <= cap)
     )
 

@@ -86,6 +86,33 @@ class TestJaccardSkew:
         assert pairs == {(500, 501)}
 
 
+class TestHostCapPlan:
+    def test_two_phase_equals_single_window(self, spark):
+        """The sharded two-phase cap must return exactly what a single
+        host-keyed window returns, for several shard counts (including
+        shards=1, which degenerates to the naive plan)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.textstats import host_cap_df
+
+        rows = [(i, f"h{i % 5}") for i in range(500)]
+        d = spark.createDataFrame(rows, "doc_id long, host string")
+        w = Window.partitionBy("host").orderBy("doc_id")
+        naive = (
+            d.withColumn("host_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("host_rank") <= 7)
+        )
+        want = sorted(tuple(r) for r in naive.collect())
+        for shards in (1, 3, 8, 64):
+            got = sorted(
+                tuple(r)
+                for r in host_cap_df(d, "doc_id", cap=7,
+                                     shards=shards).collect()
+            )
+            assert got == want, shards
+
+
 class TestSimHash:
     def test_simhash_deterministic_and_discriminative(self, spark, docs):
         from lightly_ocr_spark.operators.dedup import simhash
