@@ -28,53 +28,35 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lightly_ocr_spark.operators.dedup import minhash_signatures
+from lightly_ocr_spark.operators.dedup import (
+    MINHASH_BANDS as BANDS,
+    MINHASH_K,
+    minhash_signatures,
+)
 from lightly_ocr_spark.operators.enrich import enrich_pages
 from lightly_ocr_spark.operators.extract_udf import extract_pages
 from lightly_ocr_spark.schemas import PAGES_SCHEMA
 
 MIN_TOKENS = 10
 NEAR_DUP_MIN_AGREEMENT = 0.5
-MINHASH_K = 32
-BANDS = 8
+# MINHASH_K / BANDS imported from operators.dedup — single source of truth
 
 
 def near_dup_drops(texts: DataFrame) -> DataFrame:
     """(url, text) -> urls to drop: for each LSH candidate pair whose
     signatures agree on >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes, the
-    lexicographically larger url loses (deterministic keeper)."""
+    lexicographically larger url loses (deterministic keeper).  Banding
+    math is the shared `band_candidate_pairs` — one implementation for the
+    dd_minhash query and this pipeline."""
+    from lightly_ocr_spark.operators.dedup import band_candidate_pairs
+
     sig = minhash_signatures(
         texts.select(F.col("url").alias("doc_id"), "text"),
         k=MINHASH_K,
         ngram=3,  # order-sensitive shingles: shared vocabulary != near-dup
     )
-    rows_per_band = MINHASH_K // BANDS
-    stacked = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col(f"mh{b * rows_per_band + j}")
-                          for j in range(rows_per_band)],
-                    ).alias("bh"),
-                )
-                for b in range(BANDS)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
-    x, y = stacked.alias("x"), stacked.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+    cand = band_candidate_pairs(sig, MINHASH_K, BANDS).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
@@ -119,12 +101,26 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         "url", "warc_ts", "text", "n_blocks", "extract_sha256"
     ).observe(obs_ex, F.count(F.lit(1)).alias("n"))
 
-    # exact dedup: keeper = min(url) per content hash (one shuffle)
     from pyspark import StorageLevel
 
+    # url-revisit dedup FIRST: a crawl legally re-fetches the same url
+    # (WARC revisit records); downstream stages assume url is a key —
+    # duplicate urls would merge minhash tokens into one bogus signature
+    # and multiply rows through the enrichment join.  Keeper = newest
+    # fetch (warc_ts desc), content hash as the deterministic tiebreak.
+    wu = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), "extract_sha256"
+    )
+    one_per_url = (
+        extracted.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # exact dedup: keeper = min(url) per content hash (one shuffle)
     w = Window.partitionBy("extract_sha256").orderBy("url")
     uniq = (
-        extracted.withColumn("rn", F.row_number().over(w))
+        one_per_url.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     ).persist(StorageLevel.DISK_ONLY)
@@ -149,15 +145,21 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             deduped.withColumn("host", host), order_col="url", cap=host_cap
         ).drop("host", "host_rank")
 
+    # quality gate BEFORE enrichment: no Arrow crossing is spent on rows
+    # the token filter drops, and persisting the gated frame means the
+    # anti-join/host-cap plan runs once, not once per join branch
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    enriched = enrich_pages(deduped)  # langid + fluency, one Arrow crossing
-    curated = (
+    gated = (
         deduped.withColumn("n_tokens", tokens.cast("long"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)
-        .join(enriched, "url", "left")
+    ).persist(StorageLevel.DISK_ONLY)
+    enriched = enrich_pages(gated)  # langid + fluency, one Arrow crossing
+    curated = (
+        gated.join(enriched, "url", "left")
         .observe(obs_cur, F.count(F.lit(1)).alias("n"))
     )
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
+    gated.unpersist()
 
     manifest = {
         "input_pages": int(obs_in.get["n"]),

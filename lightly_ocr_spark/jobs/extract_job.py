@@ -90,6 +90,20 @@ def run_extract(
     def run_slice(k: int, files: list[str]) -> int | None:
         manifest_path = os.path.join(out_dir, MANIFEST_DIR, f"slice-{k}.json")
         if resume and os.path.exists(manifest_path):
+            # a manifest commits a SPECIFIC file set; if the input dir or
+            # --slices changed since, slice k now denotes different files
+            # and skipping it would silently lose the moved ones (while
+            # stale slice=* dirs double-count in the rollup) — fail loudly
+            with open(manifest_path) as f:
+                committed = json.load(f).get("input_files")
+            if committed != files:
+                raise ValueError(
+                    f"slice {k} manifest was committed for a different "
+                    f"file set ({len(committed or [])} files vs "
+                    f"{len(files)} now) — input dir or --slices changed "
+                    "since the previous run; use a fresh --out (or "
+                    "identical slicing) instead of resuming"
+                )
             return None
         t0 = time.time()
         if input_format == "warc":

@@ -135,32 +135,20 @@ def minhash_signatures(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_pairs(
-    spark: SparkSession, sf: str,
-    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
-    max_id: int = 500,
+def band_candidate_pairs(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band-hash bucket join, pairs within
-    buckets only (the 10^12-scale dedup path).  Input doubled on doc_id<50
-    so true duplicate pairs exist.
-
-    `max_id` bounds the candidate universe: the synthetic documents share a
-    tiny vocabulary, so nearly every pair is a true near-dup and the pair
-    count grows quadratically with corpus size — a data property, not an
-    LSH failure (bucket join still never materializes cross-bucket pairs)."""
-    d = load(spark, sf, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") < max_id
-    )
-    doubled = d.unionByName(
-        d.filter(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    )
-    sig = minhash_signatures(doubled, k)
+    """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
+    (id_a < id_b) sharing at least one LSH band hash.  The single shared
+    implementation of the banding math (rows-per-band split, per-band
+    xxhash64, explode + self-equi-join on (band, hash)) — used by both the
+    dd_minhash query and the curation pipeline so the constants and bucket
+    layout cannot drift apart."""
     rows_per_band = k // bands
     band_cols = [
         F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+            F.lit(b),
+            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)],
         ).alias(f"band{b}")
         for b in range(bands)
     ]
@@ -188,6 +176,31 @@ def minhash_pairs(
         )
         .distinct()
     )
+
+
+def minhash_pairs(
+    spark: SparkSession, sf: str,
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    max_id: int = 500,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band-hash bucket join, pairs within
+    buckets only (the 10^12-scale dedup path).  Input doubled on doc_id<50
+    so true duplicate pairs exist.
+
+    `max_id` bounds the candidate universe: the synthetic documents share a
+    tiny vocabulary, so nearly every pair is a true near-dup and the pair
+    count grows quadratically with corpus size — a data property, not an
+    LSH failure (bucket join still never materializes cross-bucket pairs)."""
+    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < max_id
+    )
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    sig = minhash_signatures(doubled, k)
+    return band_candidate_pairs(sig, k, bands)
 
 
 def simhash(df: DataFrame) -> DataFrame:

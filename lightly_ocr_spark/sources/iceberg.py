@@ -48,7 +48,14 @@ class IcebergSink:
         self.table = table
 
     def write_slice(self, df: DataFrame, slice_id: int) -> None:  # pragma: no cover
-        df.writeTo(self.table).append()
+        # stamp the slice id into the snapshot summary — this is what
+        # committed_slices() reads back for resume; without it every
+        # restart would re-append all slices
+        (
+            df.writeTo(self.table)
+            .option("snapshot-property.slice-id", str(slice_id))
+            .append()
+        )
 
     def committed_slices(self) -> set[int]:  # pragma: no cover
         rows = self.spark.sql(

@@ -21,8 +21,11 @@ def read_raw_dir(
         .option("pathGlobFilter", glob)
         .load(path)
     )
+    # binaryFile's path column is already a scheme-qualified URI
+    # ("file:/..."); prepending another scheme produced "file://file:/..."
+    # and host parsing downstream saw every doc on host "file:"
     return raw.select(
-        F.concat(F.lit("file://"), F.col("path")).alias("url"),
+        F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
         F.col("content").alias("html"),
         F.lit(None).cast("string").alias("text"),

@@ -103,20 +103,24 @@ def parse_warc(data: bytes | None) -> Iterator[dict]:
 def _explode_partition(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    # one yield per ARCHIVE, not per Arrow batch: a ~1 GB gzip WARC
+    # inflates to several GB of payloads — accumulating every archive in
+    # the batch before yielding would hold them all in memory at once
     for pdf in batches:
-        urls, dates, payloads = [], [], []
         for blob in pdf["content"]:
+            urls, dates, payloads = [], [], []
             for rec in parse_warc(blob):
                 urls.append(rec["url"])
                 dates.append(rec["warc_date"] or None)
                 payloads.append(rec["html"])
-        yield pd.DataFrame(
-            {
-                "url": pd.Series(urls, dtype="object"),
-                "warc_date": pd.Series(dates, dtype="object"),
-                "html": pd.Series(payloads, dtype="object"),
-            }
-        )
+            if urls:
+                yield pd.DataFrame(
+                    {
+                        "url": pd.Series(urls, dtype="object"),
+                        "warc_date": pd.Series(dates, dtype="object"),
+                        "html": pd.Series(payloads, dtype="object"),
+                    }
+                )
 
 
 def warc_pages(spark, warc_path: str | list[str]):

@@ -64,9 +64,8 @@ def extract_stream_job(
     import json as _json
     import os as _os
 
-    batch_schema = spark.read.parquet(pages_dir).schema
     stream_pages = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(pages_dir)
     )

@@ -196,6 +196,9 @@ class TestRawDirIngest:
         assert [f.name for f in pages.schema.fields] == [
             "url", "warc_ts", "html", "text", "lang"
         ]
+        # binaryFile paths are already URIs — no "file://file:/" doubling
+        for r in pages.select("url").collect():
+            assert r["url"].count(":") == 1 and "page" in r["url"], r["url"]
         out = extract_pages(pages).select("text").distinct().collect()
         assert len(out) == 1
         assert out[0]["text"] == ("ten little words fill this paragraph "

@@ -133,6 +133,16 @@ class TestWarcSpark:
                          input_format="warc")
         assert s2["skipped"] == 2 and s2["run"] == 0
 
+        # resume with a CHANGED file-to-slice assignment must fail loudly,
+        # not silently skip files that moved between slices
+        (d / "crawl-9.warc.gz").write_bytes(
+            make_warc([("https://late.example/x", b"<p>late words here "
+                        b"with more to say</p>")], gzip_members=True)
+        )
+        with pytest.raises(ValueError, match="different "):
+            run_extract(spark, str(d), str(out), n_slices=2,
+                        input_format="warc")
+
     def test_curate_job_over_warc_input(self, spark, tmp_path):
         """Crawl-to-curated in one job: WARC archives in, deduped/quality-
         gated text table out, stage counts intact."""
@@ -149,13 +159,29 @@ class TestWarcSpark:
             ))
         # plant one exact duplicate pair (same body, losing url sorts later)
         recs.append(("https://zz.example/dup", recs[0][1]))
+        # plant a url REVISIT: same url fetched twice with different bodies
+        # (round-2 review finding: duplicate urls corrupted signatures and
+        # multiplied rows through the enrichment join)
+        recs.append((
+            recs[1][0],
+            (b"<p>revisited body entirely different words but still "
+             b"plenty long enough to pass the quality gate</p>"),
+        ))
         (d / "a.warc.gz").write_bytes(make_warc(recs, gzip_members=True))
 
         out = tmp_path / "curated"
         m = run_curate(spark, str(d), str(out), input_format="warc")
-        assert m["input_pages"] == 31
-        assert m["after_exact_dedup"] == 30          # planted dup collapsed
+        assert m["input_pages"] == 32
+        assert m["after_exact_dedup"] == 30      # dup + revisit collapsed
         assert 0 < m["after_near_dedup_and_quality"] <= 30
+
+        import os
+
+        from pyspark.sql import functions as F
+
+        curated = spark.read.parquet(os.path.join(str(out), "data"))
+        # url is a key end-to-end: the revisit must not multiply rows
+        assert curated.groupBy("url").count().filter("count > 1").count() == 0
 
     def test_ingest_plan_is_single_python_stage(self, spark, tmp_path):
         from tests.test_plan_shape import plan_of
