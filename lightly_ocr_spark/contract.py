@@ -174,8 +174,12 @@ def canonicalize_newlines(s: str) -> tuple[str, list[int]]:
     original decoded-string coordinates (the reference's inverse-ratio
     rescale, ``ocr/tools/det_utils.py:259-265``).
 
-    Original offset of canonical offset ``i`` is
-    ``i + bisect_right(removals, i)``.
+    Original offset of an INCLUSIVE canonical offset ``i`` is
+    ``i + bisect_right(removals, i)``; an EXCLUSIVE end ``e`` maps to
+    ``e + bisect_right(removals, e - 1)`` — a removal sitting exactly at
+    ``e`` (the block ends right before a collapsed ``\\r\\n``) lies past
+    the span and must not shift it, else the original-coordinate slice
+    gains a stray trailing ``\\r``.
     """
     if "\r" not in s:
         return s, []

@@ -174,7 +174,7 @@ def tokenize_blocks(canon: str) -> list[Block]:
                     link_chars += nonws
                 if b_start < 0:
                     b_start = pos + first.start()
-                b_end = pos + len(run) - nonws_search(run[::-1]).start()
+                b_end = pos + len(run.rstrip())  # == last-nonws+1; \S and str whitespace agree (tested), no reversed copy
             pos += len(run)
         pos += len(parts[i + 1])
         name = parts[i + 4]  # None for comment/rawtext/CDATA/PI/doctype
@@ -221,7 +221,7 @@ def tokenize_blocks(canon: str) -> list[Block]:
                 link_chars += nonws
             if b_start < 0:
                 b_start = pos + first.start()
-            b_end = pos + len(run) - nonws_search(run[::-1]).start()
+            b_end = pos + len(run.rstrip())  # == last-nonws+1; \S and str whitespace agree (tested), no reversed copy
     if pieces and b_start >= 0:
         text = _normalize_block_text("".join(pieces))
         if text:
@@ -344,9 +344,13 @@ def extract_text(raw_html: bytes | None, subspans: bool = False) -> ExtractResul
         texts.append(BLOCK_SEP.join(lines))
         c_start = blocks[members[0]].start
         c_end = blocks[members[-1]].end
-        # D9: remap canonical offsets back to original decoded-string coords
+        # D9: remap canonical offsets back to original decoded-string
+        # coords.  start is inclusive (count removals at or before it);
+        # end is EXCLUSIVE — a removal sitting exactly at canonical `end`
+        # (block terminated by a collapsed \r\n) must NOT be counted, or
+        # the original-coordinate span gains a stray trailing \r
         o_start = c_start + bisect_right(removals, c_start)
-        o_end = c_end + bisect_right(removals, c_end)
+        o_end = c_end + bisect_right(removals, c_end - 1)
         spans.append(Span(o_start, o_end, score))
     sent: tuple[tuple[tuple[int, int], ...], ...] = ()
     if subspans:

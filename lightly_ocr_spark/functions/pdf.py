@@ -42,10 +42,12 @@ import zlib
 
 PDF_MAGIC = b"%PDF-"
 
-# negative lookbehind: 'endstream\n' contains 'stream\n' — matching it
-# would fabricate a pseudo-stream spanning into the NEXT object and
-# duplicate its text (reproduced on uncompressed two-stream PDFs)
-_STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
+# the stream keyword must directly follow its dictionary's '>>' (PDF 32000
+# §7.3.8.1) — anchoring on that prevents BOTH 'endstream\n' (which contains
+# 'stream\n') and any literal '...stream' at end-of-line inside an
+# uncompressed object from fabricating a pseudo-stream that spans into the
+# next object and duplicates its text
+_STREAM_RE = re.compile(rb">>[ \t\r\n]*stream\r?\n")
 _OBJ_BREAK_RE = re.compile(rb"endobj|endstream")
 
 _ESCAPES = {

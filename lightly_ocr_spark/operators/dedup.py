@@ -144,6 +144,12 @@ def band_candidate_pairs(
     xxhash64, explode + self-equi-join on (band, hash)) — used by both the
     dd_minhash query and the curation pipeline so the constants and bucket
     layout cannot drift apart."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the trailing "
+            f"{k % bands} signature columns would silently never hash "
+            "into any bucket, weakening recall"
+        )
     rows_per_band = k // bands
     band_cols = [
         F.xxhash64(

@@ -114,17 +114,26 @@ def extract_pages(pages: DataFrame, keep_empty: bool = True) -> DataFrame:
     return out
 
 
-def documents_as_pages(spark, sf_dir: str) -> DataFrame:
-    """Wrap the driver `documents` table into pages rows (deterministic HTML
-    template), restricted so the expected extraction is SQL-predictable:
-    ASCII-printable text, >= 8 words, >= 10 chars after collapse."""
+def _dense_ascii_docs(spark, sf_dir: str) -> DataFrame:
+    """documents rows restricted so extraction is SQL-predictable —
+    printable-ASCII text, >= 8 words and >= 10 chars after collapse (the
+    contract reduces to whitespace collapse for such paragraphs).  ONE
+    definition shared by the HTML and PDF flagship queries so their
+    eligibility gates cannot drift apart from each other or from the
+    matching DuckDB oracle predicates."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
-    d = d.filter(
+    return d.filter(
         ~F.col("text").rlike("[^ -~]")
         & (F.size(F.split(collapsed, " ")) >= 8)
         & (F.length(collapsed) >= 10)
     )
+
+
+def documents_as_pages(spark, sf_dir: str) -> DataFrame:
+    """Wrap the driver `documents` table into pages rows (deterministic HTML
+    template), restricted via `_dense_ascii_docs`."""
+    d = _dense_ascii_docs(spark, sf_dir)
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
@@ -169,16 +178,11 @@ def extract_pdf_query(spark, sf_dir: str) -> DataFrame:
     parse"): documents are typeset into real one-page FlateDecode PDFs and
     re-extracted — synthesis and extraction fused into ONE Arrow stage, no
     intermediate binary column crossing the boundary twice.  Under the same
-    dense-ASCII-paragraph restriction as the HTML flagship, the extraction
-    contract reduces to whitespace collapse, so the DuckDB oracle predicts
-    output text and sha256 exactly."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
-    d = d.filter(
-        ~F.col("text").rlike("[^ -~]")
-        & (F.size(F.split(collapsed, " ")) >= 8)
-        & (F.length(collapsed) >= 10)
-    )
+    dense-ASCII-paragraph restriction as the HTML flagship (shared
+    `_dense_ascii_docs` gate), the extraction contract reduces to
+    whitespace collapse, so the DuckDB oracle predicts output text and
+    sha256 exactly."""
+    d = _dense_ascii_docs(spark, sf_dir)
     pages = d.select(
         F.concat(F.lit("pdf://"), F.col("doc_id")).alias("url"), "text"
     )

@@ -235,7 +235,11 @@ def _featurize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     lambda p: hashlib.sha256(p or b"").hexdigest()
                 ),
                 "features": pd.Series(feats, dtype="object"),
-                "decoder": "stub-sha256" if not HAVE_PIL else "pil",
+                # honest provenance: the features ARE the sha256 stub even
+                # when PIL happens to be importable (decode_image has no
+                # real path yet) — labeling them "pil" would let auditors
+                # trust hash noise as pixel-derived embeddings
+                "decoder": "stub-sha256",
             }
         )
 

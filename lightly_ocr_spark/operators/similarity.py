@@ -40,6 +40,17 @@ def _norm(a):
     )
 
 
+def _qnorm(q: list[float]) -> float:
+    """Driver-side query norm: a left-fold sum of squares in element order
+    — the SAME IEEE add sequence as the JVM `aggregate` fold and DuckDB's
+    list_sum, so substituting the scalar literal for the per-row fold is
+    bit-exact (verified by the sim_* oracle hash matches).  Computing it
+    once removes a 64-element fold per scanned row."""
+    import math
+
+    return math.sqrt(sum(v * v for v in q))
+
+
 def _query_vec(spark: SparkSession, sf: str, vec_id: int = 0):
     row = (
         load(spark, sf, "embeddings").filter(F.col("vec_id") == vec_id)
@@ -61,7 +72,7 @@ def cosine_topk(
     sims = e.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)
-         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+         / (_norm(F.col("embedding")) * F.lit(_qnorm(q)))).alias("cos"),
     )
     return (
         sims.filter(F.col("vec_id") != vec_id)
@@ -235,7 +246,7 @@ def ivf_topk(
     sims = cand.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)
-         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+         / (_norm(F.col("embedding")) * F.lit(_qnorm(q)))).alias("cos"),
     )
     return (
         sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -322,7 +333,7 @@ def ivf_topk_indexed(
     sims = idx.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)
-         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+         / (_norm(F.col("embedding")) * F.lit(_qnorm(query)))).alias("cos"),
     )
     return (
         sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -382,7 +393,7 @@ def lsh_topk_indexed(
     sims = cand.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)
-         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+         / (_norm(F.col("embedding")) * F.lit(_qnorm(query)))).alias("cos"),
     )
     return (
         sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -429,7 +440,7 @@ def lsh_topk(
     sims = cand.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)
-         / (_norm(F.col("embedding")) * _norm(qcol))).alias("cos"),
+         / (_norm(F.col("embedding")) * F.lit(_qnorm(q)))).alias("cos"),
     )
     return (
         sims.orderBy(F.col("cos").desc(), F.col("vec_id").asc())

@@ -177,7 +177,9 @@ def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
     u = F.regexp_replace(raw, r"#.*$", "")                  # fragment
     # tracking params, lookbehind-free (portable to RE2 engines):
-    u = F.regexp_replace(u, r"utm_[^&]*&", "")              # mid params
+    # mid params: anchored to a [?&] delimiter (kept via $1) so a literal
+    # 'utm_' inside another parameter's VALUE is never clipped
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*&", "$1")
     u = F.regexp_replace(u, r"[?&]utm_[^&]*$", "")          # trailing param
     u = F.regexp_replace(u, r"[?&]$", "")                   # dangling sep
     # lowercase scheme://host only (path stays case-sensitive)

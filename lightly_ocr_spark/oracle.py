@@ -253,7 +253,8 @@ def oracle_extract(raw_html: bytes | None) -> dict:
         spans.append(
             (
                 c0 + bisect_right(removals, c0),
-                c1 + bisect_right(removals, c1),
+                # exclusive end: a removal AT c1 is past the span
+                c1 + bisect_right(removals, c1 - 1),
                 s["score"],
             )
         )

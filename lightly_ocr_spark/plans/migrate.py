@@ -32,8 +32,17 @@ def migrate_schema(
     new_names = [mapping.get(c, c) for c in out.columns]
     if len(set(new_names)) != len(new_names):
         raise ValueError(f"rename collision: {new_names}")
-    for old, new in mapping.items():
-        out = out.withColumnRenamed(old, new)
+    # ONE atomic select, never sequential withColumnRenamed: applying
+    # renames one at a time lets an intermediate name collide with a
+    # not-yet-renamed column (swap {'a':'b','b':'a'} or chain
+    # {'x':'y','y':'z'} produced duplicate columns)
+    if mapping:
+        # backtick-quote: F.col() parses bare dots as struct access, and
+        # legacy names like `module.label` contain them by construction
+        out = out.select(*[
+            F.col("`" + c.replace("`", "``") + "`").alias(mapping.get(c, c))
+            for c in out.columns
+        ])
     for col, dtype in (casts or {}).items():
         out = out.withColumn(col, F.col(col).cast(dtype))
     return out

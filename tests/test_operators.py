@@ -359,3 +359,20 @@ class TestSchemaMigration:
         df = spark.createDataFrame([(1, 2)], "a long, b long")
         with _pytest.raises(ValueError):
             migrate_schema(df, renames={"a": "b"})
+
+    def test_swap_and_chain_renames_are_atomic(self, spark):
+        """Swaps and chains through an intermediate name must apply as one
+        projection (sequential withColumnRenamed produced duplicate
+        columns for both shapes — round-2 review finding)."""
+        from lightly_ocr_spark.plans.migrate import migrate_schema
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        swapped = migrate_schema(df, renames={"a": "b", "b": "a"})
+        assert swapped.columns == ["b", "a"]
+        r = swapped.first()
+        assert r["b"] == 1 and r["a"] == 2
+
+        chained = migrate_schema(df, renames={"a": "b", "b": "c"})
+        assert chained.columns == ["b", "c"]
+        r2 = chained.first()
+        assert r2["b"] == 1 and r2["c"] == 2

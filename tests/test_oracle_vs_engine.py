@@ -64,6 +64,27 @@ class TestCorpusIdentity:
                 checked += 1
         assert checked > 100
 
+    def test_crlf_terminated_block_span_excludes_cr(self):
+        """Exclusive span ends at a collapsed \\r\\n: the remap must count
+        removals strictly BEFORE the end, or the original-coordinate slice
+        gains a stray trailing \\r (round-2 review finding, mirrored in
+        both implementations so byte-identity alone couldn't catch it)."""
+        from lightly_ocr_spark.contract import decode_page_bytes
+        from lightly_ocr_spark.oracle import oracle_extract
+
+        html = (b"<p>one two three four five six seven eight nine ten\r\n"
+                b"</p><p>alpha beta gamma delta epsilon zeta eta theta "
+                b"iota kappa\r\n</p>")
+        res = extract_text(html)
+        decoded = decode_page_bytes(html)
+        assert res.spans, "extraction expected to produce spans"
+        for s in res.spans:
+            assert not decoded[s.start:s.end].endswith("\r")
+        ora = oracle_extract(html)
+        assert [(s.start, s.end) for s in res.spans] == [
+            (a, b) for a, b, _ in ora["spans"]
+        ]
+
 
 # --- adversarial fuzz (hypothesis) --------------------------------------
 

@@ -99,6 +99,16 @@ class TestPdfOperators:
         )
         assert extract_pdf_text(pdf) == "first stream text\nsecond stream text"
 
+    def test_literal_stream_word_in_object_not_a_stream_opener(self):
+        """The word 'stream' at end-of-line inside an object body must not
+        open a pseudo-stream (only '>> stream' framing counts)."""
+        pdf = (
+            b"%PDF-1.4\n3 0 obj\n(notes about a stream\nof data)\nendobj\n"
+            b"4 0 obj\n<< /Length 21 >>\nstream\n"
+            b"BT (real text) Tj ET\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == "real text"
+
     def test_long_dict_flate_stream_still_decodes(self):
         """/Filter lookup must survive a dict longer than a few hundred
         bytes (long /DecodeParms etc.) — it used to scan only 512 bytes
