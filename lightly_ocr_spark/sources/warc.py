@@ -157,7 +157,7 @@ def make_warc_record(
         f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")  # real crawls carry raw UTF-8 target URIs
     return head + body + b"\r\n\r\n"
 
 

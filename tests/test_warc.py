@@ -53,6 +53,36 @@ class TestWarcParsing:
         assert list(parse_warc(gz[: len(gz) // 2])) == []
 
 
+class TestWarcFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(codec="utf-8",
+                                           exclude_categories=("Cs", "Cc"),
+                                           exclude_characters="\r\n"),
+                    min_size=1, max_size=60,
+                ),
+                st.binary(min_size=0, max_size=400),
+            ),
+            min_size=0, max_size=6,
+        ),
+        st.booleans(),
+    )
+    def test_roundtrip_arbitrary_records(self, records, gz):
+        """make_warc -> parse_warc is lossless for ANY url text and ANY
+        payload bytes (http=False so the body passes through raw), plain
+        and gzip-member framed."""
+        recs = [(f"u:{u}", p) for u, p in records]  # non-empty, scheme-ish
+        data = make_warc(recs, gzip_members=gz, http=False)
+        got = [(r["url"], r["html"]) for r in parse_warc(data)]
+        assert got == recs
+
+
 @pytest.mark.spark
 class TestWarcSpark:
     def test_warc_dir_to_extracted_pages(self, spark, tmp_path):
