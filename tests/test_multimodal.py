@@ -105,6 +105,42 @@ class TestMultimodal:
             r["media_id"] for r in media.collect()
         }
 
+    def test_probe_never_raises_on_arbitrary_bytes(self):
+        """probe_image must classify, never crash: arbitrary byte soup and
+        mutations of valid headers all return a well-formed dict."""
+        import random
+
+        from lightly_ocr_spark.operators.multimodal import (
+            make_gif,
+            make_jpeg,
+            make_png,
+            probe_image,
+        )
+
+        rng = random.Random(11)
+        bases = [make_png(64, 48), make_gif(64, 48), make_jpeg(64, 48)]
+        for trial in range(20000):
+            if trial % 2:
+                b = bytearray(bases[trial % 3])
+                for _ in range(rng.randrange(1, 6)):
+                    op = rng.randrange(3)
+                    if op == 0 and b:
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                    elif op == 1 and b:
+                        del b[rng.randrange(len(b))]
+                    else:
+                        b.insert(rng.randrange(len(b) + 1),
+                                 rng.randrange(256))
+                payload = bytes(b)
+            else:
+                payload = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 80))
+                )
+            p = probe_image(payload)
+            assert set(p) == {"mime", "width", "height", "valid"}
+            if p["valid"]:
+                assert p["width"] > 0 and p["height"] > 0
+
     def test_real_decoder_is_explicitly_stubbed(self):
         from lightly_ocr_spark.operators.multimodal import HAVE_PIL, decode_image
 
