@@ -74,7 +74,8 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
 
 def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                host_cap: int | None = None,
-               input_format: str = "pages") -> dict:
+               input_format: str = "pages",
+               max_rep: float | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -152,7 +153,24 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     gated = (
         deduped.withColumn("n_tokens", tokens.cast("long"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)
-    ).persist(StorageLevel.DISK_ONLY)
+    )
+    if max_rep is not None:
+        # Gopher-style repetition gate: drop docs whose single hottest
+        # word-bigram takes more than `max_rep` of all bigrams (boilerplate
+        # and keyword-stuffing spam); one extra doc-keyed shuffle, opt-in
+        from lightly_ocr_spark.operators.textstats import (
+            repetition_signals_df,
+        )
+
+        rep = repetition_signals_df(
+            gated.select(F.col("url"), "text"), id_col="url"
+        ).select("url", "top_bigram_frac")
+        gated = (
+            gated.join(rep, "url")
+            .filter(F.col("top_bigram_frac") <= max_rep)
+            .drop("top_bigram_frac")
+        )
+    gated = gated.persist(StorageLevel.DISK_ONLY)
     enriched = enrich_pages(gated)  # langid + fluency, one Arrow crossing
     curated = (
         gated.join(enriched, "url", "left")
@@ -167,6 +185,7 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         "after_exact_dedup": n_unique,
         "after_near_dedup_and_quality": int(obs_cur.get["n"]),
         "host_cap": host_cap,
+        "max_rep": max_rep,
         "min_tokens": MIN_TOKENS,
         "wall_s": round(time.time() - t0, 3),
     }
@@ -187,6 +206,9 @@ def main() -> None:
                     help="keep at most K docs per host (off by default)")
     ap.add_argument("--format", choices=("pages", "warc"), default="pages",
                     help="input layout: pages parquet or raw WARC archives")
+    ap.add_argument("--max-rep", type=float, default=None,
+                    help="drop docs whose top bigram exceeds this share "
+                    "of all bigrams (off by default)")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
@@ -194,7 +216,7 @@ def main() -> None:
     spark = build_session("curate-job", cores=args.cores, python_heavy=True)
     print(json.dumps(
         run_curate(spark, args.pages, args.out, host_cap=args.host_cap,
-                   input_format=args.format)
+                   input_format=args.format, max_rep=args.max_rep)
     ))
 
 

@@ -215,12 +215,18 @@ def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     50s vs 2s on 500 synthetic docs, and it only worsens with document
     length).  One shuffle, keyed by doc_id — uniform."""
     d = load(spark, sf, "documents")
+    return repetition_signals_df(d, id_col="doc_id")
+
+
+def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Core of `repetition_signals` over an arbitrary (id, text) frame —
+    also the gate the curation job applies with --max-rep."""
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
     )
     n_words = F.size(words)
     base = d.select(
-        "doc_id",
+        id_col,
         n_words.cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long")
         .alias("n_distinct_words"),
@@ -233,14 +239,14 @@ def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
     )
     tops = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id").agg(F.max("n").alias("top_bigram_n"))
+        base.select(id_col, F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col).agg(F.max("n").alias("top_bigram_n"))
     )
     return (
-        base.join(tops, "doc_id", "left")
+        base.join(tops, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             "n_words",
             "n_distinct_words",
             F.round(

@@ -77,6 +77,34 @@ class TestHostCap:
         assert over > 0
 
 
+class TestRepetitionGate:
+    def test_max_rep_drops_planted_spam(self, spark, pages_dir, tmp_path):
+        """--max-rep: a planted keyword-stuffed page (one bigram dominates)
+        is dropped; normal pages survive the same threshold."""
+        from pyspark.sql import Row
+
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        spam_text = "buy now " * 40  # one bigram is ~half of all bigrams
+        spam = spark.createDataFrame(
+            [Row(url="https://spam.example/x", warc_ts=None,
+                 html=f"<p>{spam_text}</p>".encode(), text="", lang="en")],
+            PAGES_SCHEMA,
+        )
+        planted = str(tmp_path / "pages_spam")
+        base.unionByName(spam).write.mode("overwrite").parquet(planted)
+
+        out = str(tmp_path / "curated_rep")
+        m = run_curate(spark, planted, out, max_rep=0.2)
+        assert m["max_rep"] == 0.2
+        curated = spark.read.parquet(os.path.join(out, "data"))
+        urls = {r["url"] for r in curated.select("url").collect()}
+        assert "https://spam.example/x" not in urls
+        assert len(urls) > 1000  # normal corpus survives the gate
+
+
 class TestLangId:
     def test_accuracy_vs_corpus_truth(self, spark, pages_dir):
         from pyspark.sql import functions as F
