@@ -62,9 +62,12 @@ class TestWarcFuzz:
         st.lists(
             st.tuples(
                 st.text(
+                    # URIs carry no whitespace; header parsing strips
+                    # surrounding ASCII whitespace by design, so keep it
+                    # out of the generated urls
                     alphabet=st.characters(codec="utf-8",
                                            exclude_categories=("Cs", "Cc"),
-                                           exclude_characters="\r\n"),
+                                           exclude_characters="\r\n \t"),
                     min_size=1, max_size=60,
                 ),
                 st.binary(min_size=0, max_size=400),
