@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
         "dd_simhash": dedup.simhash_fingerprints,        # rows-only
         "dd_decontaminate": dedup.decontaminate,
+        "dd_components": dedup.dup_components,
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_lsh_topk": similarity.lsh_topk,
@@ -343,6 +344,29 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id < 5) "
         "SELECT c.doc_id, count(*) AS n_contaminated_grams "
         "FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id"
+    )
+    # dd_components: the ITERATIVE min-label propagation is oracled via a
+    # recursive CTE reachability fixpoint — md5 gram fingerprints keep the
+    # edge set portable across engines
+    ql["dd_components"] = (
+        "WITH RECURSIVE "
+        "w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> length(x) > 0) AS ws FROM documents "
+        "WHERE doc_id < 150), "
+        "nodes AS (SELECT doc_id, ws FROM w "
+        "UNION ALL SELECT doc_id + 1000000, ws FROM w WHERE doc_id < 20 "
+        "UNION ALL SELECT doc_id + 2000000, ws FROM w WHERE doc_id < 20), "
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(ws) - 13 + 2), i -> md5(array_to_string("
+        "ws[i:i+12], ' '))))) AS gram FROM nodes WHERE len(ws) >= 13), "
+        "edges AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib "
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id), "
+        "sym AS (SELECT ia, ib FROM edges "
+        "UNION SELECT ib, ia FROM edges), "
+        "reach AS (SELECT doc_id AS id, doc_id AS r FROM nodes "
+        "UNION SELECT s.ia AS id, reach.r FROM sym s "
+        "JOIN reach ON s.ib = reach.id) "
+        "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id"
     )
     ql["ta_url_normalize"] = (
         "WITH raw AS (SELECT doc_id, 'HTTPS://Host' || (doc_id % 7) || "

@@ -281,3 +281,108 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame | None = None, max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components over near-dup candidate pairs:
+    (id_a, id_b) edges -> (id, component) where component = the smallest id
+    reachable from `id` (the cluster keeper).
+
+    Near-dup pairs are transitive in practice (A~B, B~C) and per-pair
+    "drop the larger" mishandles chains; clustering makes one keeper per
+    component.  Algorithm: min-label propagation — each iteration joins
+    labels across edges and takes the min of own and neighbor labels,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow; `max_iter` is a safety bound, convergence is detected via an
+    exact count of changed labels).  Each round is one shuffle keyed by
+    id; intermediate frames are localCheckpointed so the plan does not
+    grow linearly with iterations (lineage blowup is the classic failure
+    of iterative DataFrame algorithms)."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        )
+    ).distinct()
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor's current label, min'd with own
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"),
+                    F.col("component").alias("nbr_comp"))
+            .groupBy("id")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_comp", F.col("component")),
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_components(
+    spark: SparkSession, sf: str, ngram: int = 13, max_id: int = 150
+) -> DataFrame:
+    """Dedup clusters as a driver query: nodes are doc_id < max_id plus two
+    generations of planted clones (+10^6, +2*10^6 for doc_id < 20); edges
+    connect docs sharing any `ngram`-gram (md5 fingerprints — portable, so
+    the WHOLE iterative algorithm is DuckDB-oracled via a recursive CTE).
+    Output: (doc_id, component) with component = min doc_id of the
+    cluster; singletons map to themselves."""
+    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < max_id
+    )
+    clones = d.filter(F.col("doc_id") < 20)
+    nodes_df = d.unionByName(
+        clones.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(
+        clones.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    grams_arr = F.when(
+        F.size(words) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - ngram + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, ngram))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = nodes_df.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    edges = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(
+        edges, nodes=nodes_df.select(F.col("doc_id").alias("id"))
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")

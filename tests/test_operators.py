@@ -54,6 +54,54 @@ class TestMinHash:
         assert agree > 0.5  # signature agreement tracks jaccard
 
 
+class TestConnectedComponents:
+    def test_chains_rings_and_singletons(self, spark):
+        """Min-label propagation must traverse multi-hop structure: a
+        6-node chain, a 4-node ring, one pair, and isolated nodes all
+        resolve to their component minimum."""
+        from lightly_ocr_spark.operators.dedup import connected_components
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            # chain 10-11-12-13-14-15, ring 20-21-22-23-20, pair 30-31
+            [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (20, 21), (21, 22), (22, 23), (23, 20),
+             (30, 31)],
+            "id_a long, id_b long",
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in [10, 11, 12, 13, 14, 15, 20, 21, 22, 23,
+                            30, 31, 40, 41]],
+            "id long",
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        assert got == {
+            10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+            20: 20, 21: 20, 22: 20, 23: 20,
+            30: 30, 31: 30,
+            40: 40, 41: 41,   # isolated nodes: own component
+        }
+
+    def test_converges_within_log_bound_for_long_chain(self, spark):
+        """A 40-node path converges (min label reaches the far end) and
+        the result is exact — the max_iter bound is a safety net, not a
+        correctness knob."""
+        from lightly_ocr_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, max_iter=50).collect()
+        }
+        assert set(got.values()) == {100}
+        assert len(got) == 41
+
+
 class TestJaccardSkew:
     def test_universal_token_generates_no_pairs(self, spark):
         """A token present in EVERY doc must not become a join key: without
