@@ -150,10 +150,14 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     # the token filter drops, and persisting the gated frame means the
     # anti-join/host-cap plan runs once, not once per join branch
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    # persist BEFORE any branch reads it twice: both the repetition gate's
+    # self-join and the enrichment join would otherwise recompute the
+    # anti-join/host-cap subtree (near-dup MinHash included) per branch
     gated = (
         deduped.withColumn("n_tokens", tokens.cast("long"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    to_unpersist = [gated]
     if max_rep is not None:
         # Gopher-style repetition gate: drop docs whose single hottest
         # word-bigram takes more than `max_rep` of all bigrams (boilerplate
@@ -169,15 +173,16 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             gated.join(rep, "url")
             .filter(F.col("top_bigram_frac") <= max_rep)
             .drop("top_bigram_frac")
-        )
-    gated = gated.persist(StorageLevel.DISK_ONLY)
+        ).persist(StorageLevel.DISK_ONLY)
+        to_unpersist.append(gated)
     enriched = enrich_pages(gated)  # langid + fluency, one Arrow crossing
     curated = (
         gated.join(enriched, "url", "left")
         .observe(obs_cur, F.count(F.lit(1)).alias("n"))
     )
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
-    gated.unpersist()
+    for frame in to_unpersist:
+        frame.unpersist()
 
     manifest = {
         "input_pages": int(obs_in.get["n"]),

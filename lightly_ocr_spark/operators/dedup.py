@@ -27,6 +27,29 @@ MINHASH_BANDS = 8       # 8 bands x 4 rows
 SIM_BITS = 64
 
 
+def lower_words(text_col="text") -> F.Column:
+    """text -> array of non-empty lowercase whitespace tokens."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def word_ngrams(words: F.Column, n: int) -> F.Column:
+    """Word n-gram shingles (space-joined), EMPTY array when the doc has
+    fewer than n words — the single shared shingle expression used by the
+    decontamination, components, and repetition operators (and their
+    DuckDB oracles), so the slice bounds cannot drift between copies.
+    (`_tokens` keeps its separate whole-doc fallback for minhash: a short
+    doc must still hash to SOMETHING there.)"""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _tokens(df: DataFrame, id_col: str = "doc_id", ngram: int = 1) -> DataFrame:
     """doc -> distinct lowercase shingles (exploded), all JVM-side.
 
@@ -249,19 +272,11 @@ def decontaminate(
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def grams(df: DataFrame) -> DataFrame:
-        words = F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"),
-            lambda w: F.length(w) > 0,
-        )
-        g = F.when(
-            F.size(words) >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - ngram + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, ngram))),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         return df.select(
-            "doc_id", F.explode(F.array_distinct(g)).alias("gram")
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.transform(word_ngrams(lower_words(), ngram), F.md5)
+            )).alias("gram"),
         )
 
     bench = grams(d.filter(F.col("doc_id") < bench_max_id)).select(
@@ -309,6 +324,20 @@ def connected_components(
     ).distinct()
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
+    else:
+        # a missing endpoint would silently sever connectivity through it
+        # (its neighbors never learn each other's labels) — fail loudly
+        uncovered = (
+            sym.select(F.col("src").alias("id"))
+            .join(nodes.select("id"), "id", "left_anti")
+            .count()
+        )
+        if uncovered:
+            raise ValueError(
+                f"{uncovered} edge endpoint(s) missing from `nodes`: "
+                "components through them would be silently split — pass a "
+                "covering node set or omit `nodes`"
+            )
     labels = nodes.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -339,6 +368,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split a real cluster into bogus
+        # components — a wrong answer is worse than an error
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing); raise "
+            "max_iter above the largest component diameter"
+        )
     return labels
 
 
@@ -361,18 +398,11 @@ def dup_components(
         clones.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     )
 
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
-    )
-    grams_arr = F.when(
-        F.size(words) >= ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - ngram + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, ngram))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     g = nodes_df.select(
-        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.transform(word_ngrams(lower_words(), ngram), F.md5)
+        )).alias("gram"),
     )
     a, b = g.alias("a"), g.alias("b")
     edges = (

@@ -220,23 +220,19 @@ def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
 
 def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Core of `repetition_signals` over an arbitrary (id, text) frame —
-    also the gate the curation job applies with --max-rep."""
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
-    )
+    also the gate the curation job applies with --max-rep.  Shingles come
+    from the shared `word_ngrams` helper (one slice-bounds implementation
+    across decontamination/components/repetition)."""
+    from lightly_ocr_spark.operators.dedup import lower_words, word_ngrams
+
+    words = lower_words()
     n_words = F.size(words)
     base = d.select(
         id_col,
         n_words.cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long")
         .alias("n_distinct_words"),
-        F.when(
-            n_words >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n_words - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+        word_ngrams(words, 2).alias("bigrams"),
     )
     tops = (
         base.select(id_col, F.explode("bigrams").alias("bg"))

@@ -149,6 +149,11 @@ def make_warc_record(
     url: str, payload: bytes, warc_type: str = "response",
     date: str = "2020-01-01T00:00:00Z", http: bool = True,
 ) -> bytes:
+    if "\r" in url or "\n" in url:
+        raise ValueError(
+            "CR/LF in target URI would inject/split WARC headers and "
+            "round-trip lossily — URIs carry no control characters"
+        )
     body = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
         if http else payload
