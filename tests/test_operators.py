@@ -85,6 +85,28 @@ class TestConnectedComponents:
             40: 40, 41: 41,   # isolated nodes: own component
         }
 
+    def test_uncovered_endpoint_raises(self, spark):
+        """A caller-supplied node set missing an edge endpoint must fail
+        loudly — the missing node would silently sever its component."""
+        from lightly_ocr_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a long, id_b long")
+        nodes = spark.createDataFrame([(1,), (3,)], "id long")
+        with pytest.raises(ValueError, match="endpoint"):
+            connected_components(edges, nodes=nodes)
+
+    def test_non_convergence_raises_not_silently_wrong(self, spark):
+        """Exhausting max_iter with labels still changing must raise — a
+        partially-propagated clustering is a wrong answer."""
+        from lightly_ocr_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200, 212)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(edges, max_iter=3)
+
     def test_converges_within_log_bound_for_long_chain(self, spark):
         """A 40-node path converges (min label reaches the far end) and
         the result is exact — the max_iter bound is a safety net, not a
