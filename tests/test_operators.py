@@ -107,6 +107,48 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="converge"):
             connected_components(edges, max_iter=3)
 
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Distributed min-label propagation equals a sequential union-find
+        reference on seeded random graphs (the property that rules out
+        subtle propagation bugs beyond hand-built shapes)."""
+        import random
+
+        from lightly_ocr_spark.operators.dedup import connected_components
+
+        rng = random.Random(4420)
+        for trial in range(3):
+            n = 60
+            edges = sorted({
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(10, 50))
+            })
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                parent[find(a)] = find(b)
+            # reference component = min node id per root
+            comp_min: dict[int, int] = {}
+            for v in range(n):
+                r = find(v)
+                comp_min[r] = min(comp_min.get(r, v), v)
+            want = {v: comp_min[find(v)] for v in range(n)}
+
+            e = spark.createDataFrame(edges, "id_a long, id_b long")
+            nodes = spark.createDataFrame([(v,) for v in range(n)],
+                                          "id long")
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(e, nodes=nodes,
+                                              max_iter=80).collect()
+            }
+            assert got == want, (trial, edges)
+
     def test_converges_within_log_bound_for_long_chain(self, spark):
         """A 40-node path converges (min label reaches the far end) and
         the result is exact — the max_iter bound is a safety net, not a
