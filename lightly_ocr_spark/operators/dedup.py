@@ -309,12 +309,14 @@ def connected_components(
     "drop the larger" mishandles chains; clustering makes one keeper per
     component.  Algorithm: min-label propagation — each iteration joins
     labels across edges and takes the min of own and neighbor labels,
-    converging in O(component diameter) rounds (near-dup clusters are
-    shallow; `max_iter` is a safety bound, convergence is detected via an
-    exact count of changed labels).  Each round is one shuffle keyed by
-    id; intermediate frames are localCheckpointed so the plan does not
-    grow linearly with iterations (lineage blowup is the classic failure
-    of iterative DataFrame algorithms)."""
+    converging in O(log diameter) rounds: each round takes the min of own
+    and neighbor labels AND pointer-jumps (label := label[label], the
+    path-doubling shortcut), so even a 10^6-node path needs ~20 rounds,
+    not 10^6.  `max_iter` is a safety bound; convergence is detected via
+    an exact count of changed labels and NON-convergence raises.  Each
+    round is two shuffles keyed by id; intermediate frames are
+    localCheckpointed so the plan does not grow with iterations (lineage
+    blowup is the classic failure of iterative DataFrame algorithms)."""
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -349,13 +351,28 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_comp", F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jump: follow the label one hop (component := its own
+        # component's label) — path doubling gives the log-round bound
+        targets = stepped.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("jumped"),
+        )
+        new_labels = (
+            stepped.join(targets, "component", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.least("component", "jumped"), F.col("component")
                 ).alias("component"),
             )
         ).localCheckpoint(eager=True)

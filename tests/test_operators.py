@@ -150,9 +150,9 @@ class TestConnectedComponents:
             assert got == want, (trial, edges)
 
     def test_converges_within_log_bound_for_long_chain(self, spark):
-        """A 40-node path converges (min label reaches the far end) and
-        the result is exact — the max_iter bound is a safety net, not a
-        correctness knob."""
+        """Pointer jumping gives the log bound: a 40-node path (diameter
+        40) must converge within 12 rounds, not 40 — plain min-label
+        propagation without the shortcut cannot pass this."""
         from lightly_ocr_spark.operators.dedup import connected_components
 
         edges = spark.createDataFrame(
@@ -160,7 +160,7 @@ class TestConnectedComponents:
         )
         got = {
             r["id"]: r["component"]
-            for r in connected_components(edges, max_iter=50).collect()
+            for r in connected_components(edges, max_iter=12).collect()
         }
         assert set(got.values()) == {100}
         assert len(got) == 41
