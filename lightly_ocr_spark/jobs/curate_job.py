@@ -43,11 +43,15 @@ NEAR_DUP_MIN_AGREEMENT = 0.5
 
 
 def near_dup_drops(texts: DataFrame) -> DataFrame:
-    """(url, text) -> urls to drop: for each LSH candidate pair whose
-    signatures agree on >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes, the
-    lexicographically larger url loses (deterministic keeper).  Banding
-    math is the shared `band_candidate_pairs` — one implementation for the
-    dd_minhash query and this pipeline."""
+    """(url, text) -> urls to drop: verified near-dup pairs (signature
+    agreement >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes) are clustered
+    with connected components, and every url except each cluster's
+    lexicographic minimum loses.  Per-pair "drop the larger" under-drops
+    transitive chains (in A~B~C with only those edges, B and C both beat A
+    pairwise but C can survive B's removal); component keepers make
+    exactly one survivor per cluster.  Banding math is the shared
+    `band_candidate_pairs` — one implementation for the dd_minhash query
+    and this pipeline."""
     from lightly_ocr_spark.operators.dedup import band_candidate_pairs
 
     sig = minhash_signatures(
@@ -69,7 +73,16 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
         .join(sb, F.col("b") == F.col("sb.doc_id"))
         .filter(agree >= int(NEAR_DUP_MIN_AGREEMENT * MINHASH_K))
     )
-    return verified.select(F.col("b").alias("url")).distinct()
+    from lightly_ocr_spark.operators.dedup import connected_components
+
+    pairs = verified.select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    ).distinct()
+    comp = connected_components(pairs)  # nodes default = edge endpoints
+    return (
+        comp.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("url"))
+    )
 
 
 def run_curate(spark: SparkSession, pages_path: str, out_dir: str,

