@@ -68,6 +68,24 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # The driver correctness gate reports only the FIRST 50 queries()
+    # entries (observed round 2: 54 registered -> 50 reported).  Fail loudly
+    # if any oracled query sits beyond the reporting window, and say exactly
+    # which entries would be truncated so it can never happen silently.
+    DRIVER_REPORT_CAP = 50
+    order = list(qs)
+    truncated = order[DRIVER_REPORT_CAP:]
+    late_oracled = [q for q in truncated if q in oracles]
+    if late_oracled:
+        print(f"REGISTRY ERROR: oracled queries beyond the driver's "
+              f"{DRIVER_REPORT_CAP}-row report window: {late_oracled}")
+        return 1
+    if truncated:
+        print(f"note: {len(order)} registered, driver will report the first "
+              f"{DRIVER_REPORT_CAP}; rows-only entries outside the window "
+              f"(pytest-covered): {truncated}")
+
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
