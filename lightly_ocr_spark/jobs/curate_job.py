@@ -42,7 +42,9 @@ NEAR_DUP_MIN_AGREEMENT = 0.5
 # MINHASH_K / BANDS imported from operators.dedup — single source of truth
 
 
-def near_dup_drops(texts: DataFrame) -> DataFrame:
+def near_dup_drops(
+    texts: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(url, text) -> urls to drop: verified near-dup pairs (signature
     agreement >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes) are clustered
     with connected components, and every url except each cluster's
@@ -78,7 +80,9 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
     pairs = verified.select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     ).distinct()
-    comp = connected_components(pairs)  # nodes default = edge endpoints
+    # nodes default = edge endpoints; checkpoint_dir makes the iterative
+    # rounds durably checkpointed (cluster jobs), else localCheckpoint
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (
         comp.filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias("url"))
@@ -88,7 +92,8 @@ def near_dup_drops(texts: DataFrame) -> DataFrame:
 def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                host_cap: int | None = None,
                input_format: str = "pages",
-               max_rep: float | None = None) -> dict:
+               max_rep: float | None = None,
+               checkpoint_dir: str | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -145,7 +150,9 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     n_unique = uniq.count()
     n_extracted = int(obs_ex.get["n"])
 
-    drops = near_dup_drops(uniq.select("url", "text"))
+    drops = near_dup_drops(
+        uniq.select("url", "text"), checkpoint_dir=checkpoint_dir
+    )
     deduped = uniq.join(drops, "url", "left_anti")
 
     if host_cap is not None:
@@ -227,6 +234,10 @@ def main() -> None:
     ap.add_argument("--max-rep", type=float, default=None,
                     help="drop docs whose top bigram exceeds this share "
                     "of all bigrams (off by default)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint directory (HDFS/S3 path on a "
+                    "cluster) for the iterative near-dup clustering; "
+                    "default uses executor-local checkpoints (local mode)")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
@@ -234,7 +245,8 @@ def main() -> None:
     spark = build_session("curate-job", cores=args.cores, python_heavy=True)
     print(json.dumps(
         run_curate(spark, args.pages, args.out, host_cap=args.host_cap,
-                   input_format=args.format, max_rep=args.max_rep)
+                   input_format=args.format, max_rep=args.max_rep,
+                   checkpoint_dir=args.checkpoint_dir)
     ))
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from lightly_ocr_spark.plans.relational import load
@@ -299,7 +299,10 @@ def decontaminate(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame | None = None, max_iter: int = 25
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Distributed connected components over near-dup candidate pairs:
     (id_a, id_b) edges -> (id, component) where component = the smallest id
@@ -315,8 +318,27 @@ def connected_components(
     not 10^6.  `max_iter` is a safety bound; convergence is detected via
     an exact count of changed labels and NON-convergence raises.  Each
     round is two shuffles keyed by id; intermediate frames are
-    localCheckpointed so the plan does not grow with iterations (lineage
-    blowup is the classic failure of iterative DataFrame algorithms)."""
+    checkpointed so the plan does not grow with iterations (lineage
+    blowup is the classic failure of iterative DataFrame algorithms).
+
+    Durability: with `checkpoint_dir` set, rounds use RELIABLE
+    `df.checkpoint()` into that directory — on a multi-executor cluster a
+    lost executor recomputes from the checkpoint files instead of killing
+    the job (localCheckpoint blocks are executor-local and unrecoverable
+    once lineage is truncated).  Default (None) keeps the cheaper
+    `localCheckpoint`, appropriate for local mode and tests.
+
+    Cost per round is ONE Spark action: the changed-label count rides the
+    eager checkpoint via `Observation` instead of a separate count job."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -328,7 +350,7 @@ def connected_components(
     # an unpersisted upstream plan (e.g. the whole MinHash-LSH candidate
     # pipeline in curate_job) would otherwise recompute per round —
     # measured 400s vs 45s for the curation job on 5k pages
-    sym = sym.localCheckpoint(eager=True)
+    sym = _materialize(sym)
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
     else:
@@ -346,9 +368,11 @@ def connected_components(
                 "covering node set or omit `nodes`"
             )
     labels = nodes.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _materialize(labels)
     for _ in range(max_iter):
-        # neighbor's current label, min'd with own
+        # neighbor's current label, min'd with own; the previous label is
+        # threaded through as old_component so change detection needs no
+        # extra self-join
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"),
@@ -360,6 +384,7 @@ def connected_components(
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_comp", F.col("component")),
@@ -372,22 +397,24 @@ def connected_components(
             F.col("id").alias("component"),
             F.col("component").alias("jumped"),
         )
-        new_labels = (
+        obs = Observation()
+        new_labels = _materialize(
             stepped.join(targets, "component", "left")
             .select(
                 "id",
                 F.coalesce(
                     F.least("component", "jumped"), F.col("component")
                 ).alias("component"),
+                "old_component",
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            # exact changed-label count, collected DURING the checkpoint
+            # materialization — one action per round, not two
+            .observe(obs, F.count_if(
+                F.col("component") != F.col("old_component")
+            ).alias("changed"))
         )
-        labels = new_labels
+        changed = obs.get["changed"]
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:

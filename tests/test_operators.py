@@ -149,6 +149,42 @@ class TestConnectedComponents:
             }
             assert got == want, (trial, edges)
 
+    def test_reliable_checkpoint_dir_used_and_equal(self, spark, tmp_path):
+        """With checkpoint_dir set, rounds go through reliable
+        df.checkpoint() (recoverable on executor loss — localCheckpoint
+        blocks die with the executor): checkpoint files must land in the
+        directory, lineage must be truncated to the checkpoint, and the
+        result must equal the default local path."""
+        from lightly_ocr_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 33)],
+            "id_a long, id_b long",
+        )
+        ckdir = str(tmp_path / "cc_ckpt")
+        reliable = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edges, checkpoint_dir=ckdir
+            ).collect()
+        }
+        local = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert reliable == local == {
+            10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30,
+        }
+        import glob
+
+        files = glob.glob(f"{ckdir}/**/part-*", recursive=True)
+        assert files, "no reliable checkpoint files written"
+        # lineage truncated: the returned frame's RDD debug string roots at
+        # a ReliableCheckpointRDD, not the full iterative join tree
+        labels = connected_components(edges, checkpoint_dir=ckdir)
+        assert "ReliableCheckpoint" in labels.rdd.toDebugString().decode()
+
     def test_converges_within_log_bound_for_long_chain(self, spark):
         """Pointer jumping gives the log bound: a 40-node path (diameter
         40) must converge within 12 rounds, not 40 — plain min-label
