@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
         "dd_simhash": dedup.simhash_fingerprints,        # rows-only
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
+        # rows-only: refined centroids are float-reduction products of
+        # Spark partial aggregation (not portably re-derivable in SQL);
+        # recall-gated vs the first-n baseline by pytest instead
+        "sim_ivf_kmeans_topk": similarity.ivf_kmeans_topk,
     }
 
 

@@ -215,15 +215,17 @@ def ivf_assign_col(emb_col, centroids) -> F.Column:
 
 def ivf_topk(
     spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int = IVF_NPROBE, centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN, IVF flavor: partition vectors by nearest centroid; a query scans
     only its `nprobe` closest cells, exact cosine rerank inside them.
 
     Scale path: the cell id is a persisted partition column, so the probe is
-    partition pruning on the vector table — no full scan, no shuffle."""
+    partition pruning on the vector table — no full scan, no shuffle.
+    `centroids` overrides the default first-n codebook (pass the
+    Lloyd-refined one from `ivf_centroids_kmeans` for better cell balance)."""
     e = load(spark, sf, "embeddings")
-    cents = ivf_centroids(e)
+    cents = centroids or ivf_centroids(e)
     cell = ivf_assign_col(F.col("embedding"), cents)
     tagged = e.withColumn("cell", cell)
 
@@ -294,13 +296,37 @@ def ivf_centroids_kmeans(
     return cents
 
 
+def ivf_kmeans_topk(
+    spark: SparkSession, sf: str, vec_id: int = 0, k: int = 10,
+    nprobe: int = IVF_NPROBE, iters: int = 2,
+) -> DataFrame:
+    """ANN over the Lloyd-REFINED IVF codebook, end-to-end: refine the
+    first-n seed with `iters` k-means rounds (bounded driver pull of
+    n * dim doubles per round), then run the same probe/rerank as
+    `ivf_topk`.  Registered as a driver query; rows-only at the gate
+    (refined centroids are float-reduction products of Spark's partial
+    aggregation — not portably re-derivable in SQL), recall-gated by
+    pytest on the planted-cluster fixture instead."""
+    e = load(spark, sf, "embeddings")
+    cents = ivf_centroids_kmeans(e, iters=iters)
+    return ivf_topk(spark, sf, vec_id=vec_id, k=k, nprobe=nprobe,
+                    centroids=cents)
+
+
 def write_ivf_index(
-    df: DataFrame, path: str, centroids: list[list[float]] | None = None
+    df: DataFrame, path: str, centroids: list[list[float]] | None = None,
+    kmeans_iters: int = 0,
 ) -> list[list[float]]:
     """Materialize the IVF index: vectors tagged with their cell id,
     written partitioned by `cell` — the one-time precomputation that turns
     every subsequent probe into partition pruning instead of a scan.
-    Returns the codebook (persist it beside the index at scale)."""
+    Returns the codebook (persist it beside the index at scale).
+
+    `kmeans_iters > 0` Lloyd-refines the default first-n codebook before
+    tagging (better cell balance -> fewer wasted probes); an explicit
+    `centroids` list wins over both."""
+    if centroids is None and kmeans_iters > 0:
+        centroids = ivf_centroids_kmeans(df, iters=kmeans_iters)
     centroids = centroids or ivf_centroids(df)
     tagged = df.withColumn("cell", ivf_assign_col(F.col("embedding"), centroids))
     tagged.write.mode("overwrite").partitionBy("cell").parquet(path)
