@@ -67,7 +67,7 @@ def run_extract(
     n_slices: int = 8,
     resume: bool = True,
     salt_partitions: int | None = None,
-    salt: bool = True,
+    salt: bool | None = None,
     concurrent_slices: int = 4,
     input_format: str = "pages",
 ) -> dict:
@@ -82,6 +82,16 @@ def run_extract(
     slices = _slice_files(_input_files(pages_path, input_format), n_slices)
     if salt_partitions is None:
         salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt is None:
+        # auto: extraction is row-local and parquet input splits are
+        # byte-uniform (maxPartitionBytes), so the salt shuffle buys no
+        # balance there and costs ~21% throughput (BENCH docs_per_sec vs
+        # docs_per_sec_salted).  WARC archives are gzip — NOT splittable —
+        # so one giant archive would otherwise pin one task; keep the
+        # post-parse rebalancing shuffle for that input.  Downstream
+        # host-keyed ops (curate's host cap / near-dup) re-shuffle on their
+        # own keys regardless, so they never depend on this salt.
+        salt = input_format == "warc"
 
     summary = {"slices": len(slices), "skipped": 0, "run": 0, "rows_out": 0,
                "wall_s": 0.0}
@@ -139,6 +149,7 @@ def run_extract(
             "text_chars": int(m["text_chars"] or 0),
             "empty_docs": int(m["empty_docs"] or 0),
             "checksum": int(m["checksum"] or 0),
+            "salted": bool(salt),
             "salt_partitions": salt_partitions,
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -223,7 +234,12 @@ def main() -> None:
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--no-salt", action="store_true")
+    ap.add_argument("--salt", choices=("auto", "on", "off"), default="auto",
+                    help="url-hash rebalancing shuffle before extraction: "
+                    "auto (default) salts only non-splittable WARC input; "
+                    "parquet scans are already byte-uniform")
+    ap.add_argument("--no-salt", action="store_true",
+                    help="alias for --salt off (back-compat)")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--format", choices=("pages", "warc"), default="pages",
                     help="input layout: pages parquet or raw WARC archives")
@@ -232,9 +248,12 @@ def main() -> None:
     from lightly_ocr_spark.plans.session import build_session
 
     spark = build_session("extract-job", cores=args.cores, python_heavy=True)
+    salt = {"auto": None, "on": True, "off": False}[args.salt]
+    if args.no_salt:
+        salt = False
     summary = run_extract(
         spark, args.pages, args.out, n_slices=args.slices,
-        resume=not args.no_resume, salt=not args.no_salt,
+        resume=not args.no_resume, salt=salt,
         input_format=args.format,
     )
     if args.verify:

@@ -89,6 +89,40 @@ class TestExtractJob:
         assert sorted(rollup["input_files"]) == sorted(seen_files)
 
 
+class TestSaltAutoDefault:
+    def test_parquet_default_is_narrow_warc_default_salts(
+        self, spark, pages_dir, out_dir, tmp_path
+    ):
+        """salt=None resolves by input splittability: parquet scans get
+        byte-uniform splits for free (salting costs ~21% throughput for no
+        balance gain), gzip WARC archives do not (one archive = one task
+        until the post-parse shuffle).  Forcing salt=True still salts."""
+        run_extract(spark, pages_dir, out_dir, n_slices=2)
+        m = json.load(open(os.path.join(out_dir, "_manifests", "slice-0.json")))
+        assert m["salted"] is False
+
+        forced = str(tmp_path / "forced")
+        run_extract(spark, pages_dir, forced, n_slices=2, salt=True)
+        m = json.load(open(os.path.join(forced, "_manifests", "slice-0.json")))
+        assert m["salted"] is True
+
+        from lightly_ocr_spark.sources.warc import make_warc
+
+        wdir = tmp_path / "warc_in"
+        wdir.mkdir()
+        recs = [
+            (f"http://h{i % 3}.test/p{i}",
+             f"<html><body><p>doc {i} body text here</p></body></html>"
+             .encode())
+            for i in range(20)
+        ]
+        (wdir / "a.warc.gz").write_bytes(make_warc(recs, gzip_members=True))
+        wout = str(tmp_path / "warc_out")
+        run_extract(spark, str(wdir), wout, n_slices=1, input_format="warc")
+        m = json.load(open(os.path.join(wout, "_manifests", "slice-0.json")))
+        assert m["salted"] is True
+
+
 class TestSkewSalting:
     def test_url_hash_salting_bounds_partition_skew(self, spark, pages_dir):
         """Zipf hosts (a≈1.3, top host ~24% of rows) must NOT translate into
