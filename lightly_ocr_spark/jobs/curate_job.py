@@ -89,11 +89,46 @@ def near_dup_drops(
     )
 
 
+def media_features_per_url(media: DataFrame) -> DataFrame:
+    """Opt-in media leg: probe -> validity filter -> featurize -> per-url
+    rollup, ready to left-join onto the curated text table.
+
+    Input: media parquet with MEDIA_SCHEMA columns plus a `url` linking
+    each item to its page.  Corrupt images (bad magic/CRC, truncated
+    header, dimensions disagreeing with declared meta) are dropped by
+    `valid_media`; survivors get Arrow-batched features, then one
+    url-keyed aggregate: item count and a deterministic per-url media
+    fingerprint (sha256 over the sorted item hashes).  Scalars only —
+    the curated table stays one row per url."""
+    from lightly_ocr_spark.operators.multimodal import (
+        featurize_media,
+        valid_media,
+    )
+
+    kept = valid_media(media)
+    feats = featurize_media(kept)
+    return (
+        kept.select("media_id", "url")
+        .join(feats, "media_id")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_valid_media"),
+            F.sha2(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list("payload_sha256"))
+                ),
+                256,
+            ).alias("media_sha256"),
+        )
+    )
+
+
 def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                host_cap: int | None = None,
                input_format: str = "pages",
                max_rep: float | None = None,
-               checkpoint_dir: str | None = None) -> dict:
+               checkpoint_dir: str | None = None,
+               media_path: str | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -196,10 +231,21 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         ).persist(StorageLevel.DISK_ONLY)
         to_unpersist.append(gated)
     enriched = enrich_pages(gated)  # langid + fluency, one Arrow crossing
-    curated = (
-        gated.join(enriched, "url", "left")
-        .observe(obs_cur, F.count(F.lit(1)).alias("n"))
-    )
+    curated = gated.join(enriched, "url", "left")
+    obs_media = None
+    if media_path is not None:
+        obs_media = Observation("curate-media")
+        per_url = media_features_per_url(
+            spark.read.parquet(media_path)
+        ).observe(
+            obs_media,
+            F.sum("n_valid_media").alias("items"),
+            F.count(F.lit(1)).alias("urls"),
+        )
+        # left join: pages without media keep flowing; counts ride the
+        # write action via the observation, no extra materialization
+        curated = curated.join(per_url, "url", "left")
+    curated = curated.observe(obs_cur, F.count(F.lit(1)).alias("n"))
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
     for frame in to_unpersist:
         frame.unpersist()
@@ -214,6 +260,10 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         "min_tokens": MIN_TOKENS,
         "wall_s": round(time.time() - t0, 3),
     }
+    if obs_media is not None:
+        m = obs_media.get
+        manifest["media_valid_items"] = int(m["items"] or 0)
+        manifest["media_urls"] = int(m["urls"] or 0)
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     uniq.unpersist()
@@ -238,6 +288,11 @@ def main() -> None:
                     help="reliable checkpoint directory (HDFS/S3 path on a "
                     "cluster) for the iterative near-dup clustering; "
                     "default uses executor-local checkpoints (local mode)")
+    ap.add_argument("--media", default=None,
+                    help="optional media parquet (MEDIA_SCHEMA + url): "
+                    "probe/validate images, featurize survivors, and "
+                    "left-join per-url media counts+fingerprint onto the "
+                    "curated table")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session
@@ -246,7 +301,8 @@ def main() -> None:
     print(json.dumps(
         run_curate(spark, args.pages, args.out, host_cap=args.host_cap,
                    input_format=args.format, max_rep=args.max_rep,
-                   checkpoint_dir=args.checkpoint_dir)
+                   checkpoint_dir=args.checkpoint_dir,
+                   media_path=args.media)
     ))
 
 

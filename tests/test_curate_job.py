@@ -45,6 +45,81 @@ class TestCurateJob:
         assert n_lang >= int(0.9 * n)
 
 
+class TestMediaLeg:
+    def test_corrupt_images_dropped_valid_features_joined(
+        self, spark, pages_dir, tmp_path
+    ):
+        """--media: planted corrupt images (bad magic, CRC-broken PNG,
+        lying declared dims) never reach the curated table; valid items
+        roll up to per-url counts + a deterministic media fingerprint."""
+        from pyspark.sql import Row
+
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.operators.multimodal import make_png
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        urls = [
+            r["url"]
+            for r in spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+            .select("url").orderBy("url").limit(6).collect()
+        ]
+
+        def meta(w, h):
+            return Row(width=w, height=h, sample_rate=None,
+                       n_frames=None, mime="image/png")
+
+        good = make_png(64, 48)
+        crc_broken = bytearray(make_png(64, 48))
+        crc_broken[-2] ^= 0xFF  # flip a CRC byte -> probe must reject
+        rows = [
+            # urls[0]: two valid images
+            (0, urls[0], "image", good, meta(64, 48)),
+            (1, urls[0], "image", make_png(32, 32), meta(32, 32)),
+            # urls[1]: one valid + one bad-magic (dropped)
+            (2, urls[1], "image", good, meta(64, 48)),
+            (3, urls[1], "image", b"not an image at all", meta(64, 48)),
+            # urls[2]: only corrupt items -> url gets NO media row
+            (4, urls[2], "image", bytes(crc_broken), meta(64, 48)),
+            (5, urls[2], "image", make_png(64, 48), meta(999, 48)),  # lying meta
+            # urls[3]: audio passes through the image probe untouched
+            (6, urls[3], "audio", b"\x01\x02\x03", Row(
+                width=None, height=None, sample_rate=16000,
+                n_frames=None, mime="audio/fake")),
+        ]
+        from lightly_ocr_spark.operators.multimodal import MEDIA_SCHEMA
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [MEDIA_SCHEMA["media_id"], T.StructField("url", T.StringType())]
+            + [MEDIA_SCHEMA[n] for n in ("kind", "payload", "meta")]
+        )
+        media_dir = str(tmp_path / "media")
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in rows], schema
+        ).write.parquet(media_dir)
+
+        out = str(tmp_path / "curated_media")
+        m = run_curate(spark, pages_dir, out, media_path=media_dir)
+        # 4 valid items (urls[0]: 2, urls[1]: 1, urls[2]: 0, urls[3]: audio)
+        assert m["media_valid_items"] == 4
+        assert m["media_urls"] == 3
+
+        curated = spark.read.parquet(os.path.join(out, "data"))
+        got = {
+            r["url"]: (r["n_valid_media"], r["media_sha256"])
+            for r in curated.filter(F.col("n_valid_media").isNotNull())
+            .select("url", "n_valid_media", "media_sha256").collect()
+        }
+        surviving = {u for u in urls[:4] if u in got}
+        # urls[2] had only corrupt media: no media columns for it
+        assert urls[2] not in got
+        for u in surviving:
+            n, sha = got[u]
+            assert n >= 1 and len(sha) == 64
+        # pages without media keep flowing with null media columns
+        assert curated.filter(F.col("n_valid_media").isNull()).count() > 0
+
+
 class TestHostCap:
     def test_host_cap_bounds_every_host(self, spark, pages_dir, tmp_path):
         """--host-cap K: no host contributes more than K docs to the
