@@ -389,7 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "|| '&utm_campaign=y#frag' AS raw_url FROM documents), "
         "s1 AS (SELECT doc_id, raw_url, regexp_replace(regexp_replace("
         "regexp_replace(regexp_replace(raw_url, '#.*$', ''), "
-        "'([?&])utm_[^&]*&', '\\1', 'g'), '[?&]utm_[^&]*$', ''), "
+        "'([?&])(?:utm_[^&]*&)+', '\\1', 'g'), '[?&]utm_[^&]*$', ''), "
         "'[?&]$', '') AS u "
         "FROM raw) "
         "SELECT doc_id, raw_url, "

@@ -194,9 +194,15 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         # per-host flood guard: keep the first `host_cap` docs per host
         # (deterministic by url), via the sharded two-phase cap so a
         # zipf-hot host never serializes into one window-sort task
-        from lightly_ocr_spark.operators.textstats import host_cap_df
+        from lightly_ocr_spark.operators.textstats import (
+            host_cap_df,
+            host_expr,
+        )
 
-        host = F.regexp_extract("url", r"^[^:]+://([^/]+)", 1)
+        # host_expr falls back to the parent path for authority-less URIs
+        # (binaryFile 'file:/...' paths), so a rawdir corpus buckets by
+        # directory instead of collapsing into one empty-host bucket
+        host = host_expr("url")
         deduped = host_cap_df(
             deduped.withColumn("host", host), order_col="url", cap=host_cap
         ).drop("host", "host_rank")

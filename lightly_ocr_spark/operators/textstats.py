@@ -144,6 +144,19 @@ def per_host_cap(spark: SparkSession, sf: str, cap: int = 3,
     )
 
 
+def host_expr(url) -> "F.Column":
+    """Host key for grouping/capping, robust to scheme-only URIs: the
+    netloc when the url has a '://' authority, else the parent path (last
+    segment stripped).  binaryFile paths are 'file:/...' — single slash,
+    no authority — so the plain netloc regex returned '' for every local
+    file and host-keyed ops collapsed the whole corpus into one bucket;
+    the directory fallback buckets a crawl-dump by folder instead."""
+    url = F.col(url) if isinstance(url, str) else url
+    netloc = F.regexp_extract(url, r"^[^:]+://([^/]+)", 1)
+    parent = F.regexp_replace(url, r"/[^/]*$", "")
+    return F.when(netloc != "", netloc).otherwise(parent)
+
+
 def host_cap_df(d: DataFrame, order_col: str, cap: int,
                 shards: int = 8) -> DataFrame:
     """Core two-phase per-host cap over (host, <order_col>, ...) rows."""
@@ -178,8 +191,11 @@ def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     u = F.regexp_replace(raw, r"#.*$", "")                  # fragment
     # tracking params, lookbehind-free (portable to RE2 engines):
     # mid params: anchored to a [?&] delimiter (kept via $1) so a literal
-    # 'utm_' inside another parameter's VALUE is never clipped
-    u = F.regexp_replace(u, r"([?&])utm_[^&]*&", "$1")
+    # 'utm_' inside another parameter's VALUE is never clipped; the (...)+
+    # run eats ADJACENT tracking params in one match — single-pass
+    # non-overlapping replacement would leave the second of
+    # '?utm_a=1&utm_b=2&id=3' behind because its '&' anchor was consumed
+    u = F.regexp_replace(u, r"([?&])(?:utm_[^&]*&)+", "$1")
     u = F.regexp_replace(u, r"[?&]utm_[^&]*$", "")          # trailing param
     u = F.regexp_replace(u, r"[?&]$", "")                   # dangling sep
     # lowercase scheme://host only (path stays case-sensitive)

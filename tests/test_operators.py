@@ -234,6 +234,52 @@ class TestJaccardSkew:
         assert pairs == {(500, 501)}
 
 
+class TestHostExpr:
+    def test_netloc_and_schemeless_fallback(self, spark):
+        """host_expr: netloc for real urls; parent path for authority-less
+        URIs (binaryFile 'file:/...' paths), so a rawdir corpus buckets by
+        directory instead of every file collapsing into host ''."""
+        from pyspark.sql import functions as F
+
+        from lightly_ocr_spark.operators.textstats import host_expr
+
+        cases = [
+            ("https://a.example.com/x/y", "a.example.com"),
+            ("http://b.test/", "b.test"),
+            ("file:/data/crawl/site1/p1.html", "file:/data/crawl/site1"),
+            ("file:/data/crawl/site2/p9.html", "file:/data/crawl/site2"),
+            ("file:///data/crawl/site1/p2.html", "file:///data/crawl/site1"),
+        ]
+        d = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r["h"] for r in
+            d.select(host_expr("url").alias("h")).collect()
+        ]
+        assert got == [h for _, h in cases]
+        # the two rawdir files from different dirs land in DIFFERENT
+        # buckets and neither is empty (the pre-fix collapse)
+        assert "" not in got and got[2] != got[3]
+
+    def test_adjacent_tracking_params_all_stripped(self, spark):
+        """'?utm_a=1&utm_b=2&id=3' must lose BOTH tracking params: a
+        single-pass non-overlapping replace leaves the second because its
+        '&' anchor is consumed by the first match."""
+        from pyspark.sql import functions as F
+
+        cases = [
+            ("https://h/p?utm_a=1&utm_b=2&id=3", "https://h/p?id=3"),
+            ("https://h/p?id=3&utm_a=1&utm_b=2", "https://h/p?id=3"),
+            ("https://h/p?utm_a=1&utm_b=2", "https://h/p"),
+            ("https://h/p?a=utm_x&id=3", "https://h/p?a=utm_x&id=3"),
+        ]
+        d = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+        u = F.regexp_replace(F.col("u"), r"([?&])(?:utm_[^&]*&)+", "$1")
+        u = F.regexp_replace(u, r"[?&]utm_[^&]*$", "")
+        u = F.regexp_replace(u, r"[?&]$", "")
+        got = [r["c"] for r in d.select(u.alias("c")).collect()]
+        assert got == [c for _, c in cases]
+
+
 class TestHostCapPlan:
     def test_two_phase_equals_single_window(self, spark):
         """The sharded two-phase cap must return exactly what a single
