@@ -26,19 +26,21 @@ import pandas as pd
 GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenate ALL gzip members (CC writes one member per record)."""
-    out = bytearray()
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members ONE AT A TIME (CC writes one member
+    per record, so peak memory is one record, not the whole multi-GB
+    inflated archive — inflating a ~1 GB gzip WARC in full would hold
+    several GB per concurrent task)."""
     while data[:2] == GZIP_MAGIC:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out += d.decompress(data)
+            chunk = d.decompress(data)
         except zlib.error:
-            break
+            return
+        yield chunk
         data = d.unused_data
         if not data:
-            break
-    return bytes(out)
+            return
 
 
 def _parse_headers(block: bytes) -> dict[bytes, bytes]:
@@ -60,59 +62,114 @@ def _strip_http_envelope(payload: bytes) -> bytes:
     return payload
 
 
+_NEED_MORE = -1
+
+
+def _next_record(buf: bytes, pos: int, final: bool) -> tuple[dict | None, int]:
+    """Parse one record starting at/after `pos`.
+
+    Returns (record_or_None, new_pos); new_pos == _NEED_MORE means the
+    buffer holds no complete record from `pos` — wait for more data
+    (or, when `final`, stop: the tail is garbage or a truncated record,
+    dropped exactly as before)."""
+    start = buf.find(b"WARC/", pos)
+    if start < 0:
+        return None, _NEED_MORE
+    head_end = buf.find(b"\r\n\r\n", start)
+    if head_end < 0:
+        return None, _NEED_MORE
+    headers = _parse_headers(bytes(buf[start:head_end]))
+    try:
+        length = int(headers.get(b"content-length", b""))
+    except ValueError:
+        return None, head_end + 4  # malformed: skip past this header
+    body_start = head_end + 4
+    body_end = body_start + length
+    if body_end > len(buf):
+        return None, _NEED_MORE  # incomplete (or, if final, truncated)
+    rec = None
+    if headers.get(b"warc-type") == b"response":
+        uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        if uri:
+            rec = {
+                "url": uri,
+                "warc_date": headers.get(b"warc-date", b"").decode(
+                    "ascii", "replace"
+                ),
+                "html": _strip_http_envelope(bytes(buf[body_start:body_end])),
+            }
+    return rec, body_end
+
+
+def _iter_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Streaming record parse over decompressed chunks: complete records
+    are yielded and released as soon as their bytes arrive; only the
+    unparsed tail (normally < one record) is carried across chunks."""
+    buf = bytearray()
+    for chunk in chunks:
+        buf += chunk
+        pos = 0
+        while True:
+            rec, nxt = _next_record(buf, pos, final=False)
+            if nxt == _NEED_MORE:
+                break
+            pos = nxt
+            if rec is not None:
+                yield rec
+        if pos:
+            del buf[:pos]
+    pos = 0
+    while True:
+        rec, nxt = _next_record(buf, pos, final=True)
+        if nxt == _NEED_MORE:
+            return  # truncated/garbage tail: dropped, never raised
+        pos = nxt
+        if rec is not None:
+            yield rec
+
+
 def parse_warc(data: bytes | None) -> Iterator[dict]:
-    """WARC bytes -> dicts {url, warc_date, html} for response records."""
+    """WARC bytes -> dicts {url, warc_date, html} for response records.
+
+    Gzip archives are decompressed MEMBER BY MEMBER and parsed
+    incrementally — peak memory is one record plus any carried tail, not
+    the inflated archive."""
     if not data:
         return
     if data[:2] == GZIP_MAGIC:
-        data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            return
-        head_end = data.find(b"\r\n\r\n", start)
-        if head_end < 0:
-            return
-        headers = _parse_headers(data[start:head_end])
-        try:
-            length = int(headers.get(b"content-length", b""))
-        except ValueError:
-            pos = head_end + 4
-            continue
-        body_start = head_end + 4
-        body_end = body_start + length
-        if body_end > n:
-            return  # truncated archive: drop the partial record
-        if headers.get(b"warc-type") == b"response":
-            uri = headers.get(b"warc-target-uri", b"").decode(
-                "utf-8", "replace"
-            )
-            if uri:
-                yield {
-                    "url": uri,
-                    "warc_date": headers.get(b"warc-date", b"").decode(
-                        "ascii", "replace"
-                    ),
-                    "html": _strip_http_envelope(data[body_start:body_end]),
-                }
-        pos = body_end
+        chunks: Iterator[bytes] = _iter_gzip_members(data)
+    else:
+        chunks = iter((data,))
+    yield from _iter_records(chunks)
+
+
+# flush thresholds for the explode stage: with streaming member-by-member
+# decompression, peak task memory is one flush chunk (~64 MB of payloads),
+# not the whole inflated archive
+_FLUSH_RECORDS = 4096
+_FLUSH_BYTES = 64 << 20
 
 
 def _explode_partition(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    # one yield per ARCHIVE, not per Arrow batch: a ~1 GB gzip WARC
-    # inflates to several GB of payloads — accumulating every archive in
-    # the batch before yielding would hold them all in memory at once
     for pdf in batches:
         for blob in pdf["content"]:
-            urls, dates, payloads = [], [], []
+            urls, dates, payloads, held = [], [], [], 0
             for rec in parse_warc(blob):
                 urls.append(rec["url"])
                 dates.append(rec["warc_date"] or None)
                 payloads.append(rec["html"])
+                held += len(rec["html"])
+                if len(urls) >= _FLUSH_RECORDS or held >= _FLUSH_BYTES:
+                    yield pd.DataFrame(
+                        {
+                            "url": pd.Series(urls, dtype="object"),
+                            "warc_date": pd.Series(dates, dtype="object"),
+                            "html": pd.Series(payloads, dtype="object"),
+                        }
+                    )
+                    urls, dates, payloads, held = [], [], [], 0
             if urls:
                 yield pd.DataFrame(
                     {

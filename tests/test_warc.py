@@ -53,6 +53,68 @@ class TestWarcParsing:
         assert list(parse_warc(gz[: len(gz) // 2])) == []
 
 
+class TestWarcStreaming:
+    def test_records_parse_incrementally_not_after_full_inflate(self):
+        """First record must be yielded after pulling only its own chunks —
+        the parser may not inflate/concatenate the whole archive first
+        (the OOM path for ~1 GB gzip / multi-GB inflated CC WARCs)."""
+        from lightly_ocr_spark.sources.warc import _iter_records
+
+        recs = [(f"https://s.example/{i}", f"<p>body {i}</p>".encode())
+                for i in range(50)]
+        chunks = [make_warc([r]) for r in recs]
+        pulled = 0
+
+        def feeder():
+            nonlocal pulled
+            for c in chunks:
+                pulled += 1
+                yield c
+
+        it = _iter_records(feeder())
+        first = next(it)
+        assert first["url"] == "https://s.example/0"
+        assert pulled <= 2, f"pulled {pulled} chunks before first record"
+        assert len(list(it)) == 49  # and the rest still all arrive
+
+    def test_record_split_across_gzip_members_still_parses(self):
+        """Non-CC layout: one record's bytes split across two gzip members
+        must reassemble via the carried tail."""
+        import zlib
+
+        from lightly_ocr_spark.sources.warc import parse_warc
+
+        rec = make_warc_record("https://x/split", b"<p>split body</p>")
+        parts = [rec[: len(rec) // 2], rec[len(rec) // 2:]]
+        out = bytearray()
+        for p in parts:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            out += co.compress(p) + co.flush()
+        got = list(parse_warc(bytes(out)))
+        assert [(r["url"], r["html"]) for r in got] == [
+            ("https://x/split", b"<p>split body</p>")
+        ]
+
+    def test_explode_flushes_bounded_chunks(self):
+        """The Spark explode stage must emit multiple bounded frames for a
+        many-record archive instead of one frame per archive."""
+        import pandas as pd
+
+        from lightly_ocr_spark.sources import warc as W
+
+        recs = [(f"https://b.example/{i}", b"x" * 100) for i in range(25)]
+        archive = make_warc(recs, gzip_members=True)
+        pdf = pd.DataFrame({"content": [archive]})
+        old = W._FLUSH_RECORDS
+        W._FLUSH_RECORDS = 10
+        try:
+            frames = list(W._explode_partition(iter([pdf])))
+        finally:
+            W._FLUSH_RECORDS = old
+        assert [len(f) for f in frames] == [10, 10, 5]
+        assert [u for f in frames for u in f["url"]] == [u for u, _ in recs]
+
+
 class TestWarcFuzz:
     from hypothesis import given, settings
     from hypothesis import strategies as st
