@@ -48,7 +48,6 @@ PDF_MAGIC = b"%PDF-"
 # uncompressed object from fabricating a pseudo-stream that spans into the
 # next object and duplicates its text
 _STREAM_RE = re.compile(rb">>[ \t\r\n]*stream\r?\n")
-_OBJ_BREAK_RE = re.compile(rb"endobj|endstream")
 
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
@@ -65,6 +64,37 @@ def _decode_bytes(raw: bytes) -> str:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
         return raw.decode("latin-1")
+
+
+# backstop for pathological inputs: a real stream dict (even with long
+# /DecodeParms or inline metadata) fits well under this; without a cap a
+# crafted payload of '>>' runs would make the backwards scan quadratic
+_DICT_SCAN_CAP = 1 << 20
+
+
+def _dict_before(payload: bytes, close_start: int) -> bytes | None:
+    """The balanced << ... >> dictionary whose closing '>>' begins at
+    `close_start`; None when no balanced opener exists (not a real stream
+    object).  Nested dictionaries (/DecodeParms << ... >>) are handled by
+    depth counting; delimiters inside literal strings can in principle
+    fool a backwards scan, but stream dicts carry names/numbers, and the
+    failure mode is a skipped stream, never a crash."""
+    depth = 1
+    j = close_start - 1
+    lo = max(0, close_start - _DICT_SCAN_CAP)
+    while j >= lo:
+        pair = payload[j:j + 2]
+        if pair == b">>":
+            depth += 1
+            j -= 2
+        elif pair == b"<<":
+            depth -= 1
+            if depth == 0:
+                return payload[j:close_start + 2]
+            j -= 2
+        else:
+            j -= 1
+    return None
 
 
 def _content_streams(payload: bytes) -> list[bytes]:
@@ -84,14 +114,15 @@ def _content_streams(payload: bytes) -> list[bytes]:
             data = raw[:-1]
         else:
             data = raw
-        # the stream dict sits between the previous object boundary and
-        # the `stream` keyword — never scan past our own object.  64 KB
-        # window: real dicts (long /DecodeParms, metadata) can exceed a
-        # few hundred bytes, and missing /Filter here silently token-scans
-        # raw deflate bytes as text
-        head = _OBJ_BREAK_RE.split(
-            payload[max(0, m.start() - 65536):m.start()]
-        )[-1]
+        # the stream dict is the balanced << ... >> whose closing '>>'
+        # is the start of the `stream` keyword match — scan it backwards
+        # by nesting depth instead of a fixed-size window (a dict longer
+        # than the window hid its /Filter, so raw deflate bytes were
+        # token-scanned as 'text').  No balanced dict -> not a real
+        # stream object, skip it rather than guess.
+        head = _dict_before(payload, m.start())
+        if head is None:
+            continue
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 continue          # unsupported filter: skip, don't guess

@@ -122,6 +122,40 @@ class TestPdfOperators:
         )
         assert extract_pdf_text(pdf) == "big dict payload"
 
+    def test_dict_beyond_64kb_window_still_finds_filter(self):
+        """Balanced-dict scan, not a fixed window: a >64 KB dict (the old
+        window size) must still surface /Filter instead of token-scanning
+        raw deflate bytes as text."""
+        content = zlib.compress(b"BT (huge dict payload) Tj ET")
+        pad = b"/Pad (" + b"x" * 70000 + b") "
+        pdf = (
+            b"%PDF-1.4\n4 0 obj\n<< /Filter /FlateDecode " + pad
+            + b"/Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content
+            + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == "huge dict payload"
+
+    def test_nested_decodeparms_dict_balanced(self):
+        """/DecodeParms << ... >> nests inside the stream dict; depth
+        counting must still find the OUTER opener and its /Filter."""
+        content = zlib.compress(b"BT (nested dict payload) Tj ET")
+        pdf = (
+            b"%PDF-1.4\n4 0 obj\n<< /Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 1 /Columns 4 >> /Length "
+            + str(len(content)).encode() + b" >>\nstream\n" + content
+            + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == "nested dict payload"
+
+    def test_stream_without_balanced_dict_skipped(self):
+        """A 'stream' keyword with a closing '>>' but no balanced opener is
+        not a real stream object — skipped, never token-scanned."""
+        junk = zlib.compress(b"BT (should never appear) Tj ET")
+        pdf = (b"%PDF-1.4\ngarbage >>\nstream\n" + junk
+               + b"\nendstream\n%%EOF\n")
+        assert extract_pdf_text(pdf) == ""
+
     def test_unterminated_bt_keeps_text(self):
         pdf = wrap_pdf(b"BT (kept despite missing ET) Tj")
         assert extract_pdf_text(pdf) == "kept despite missing ET"
