@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark partial aggregation (not portably re-derivable in SQL);
         # recall-gated vs the first-n baseline by pytest instead
         "sim_ivf_kmeans_topk": similarity.ivf_kmeans_topk,
+        # oracled locally via tools/check_oracles.py (beyond the driver's
+        # 50-row report window — every slot inside is already oracled)
+        "dd_line_dedup": dedup.line_dedup,
     }
 
 
@@ -359,6 +362,29 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id < 5) "
         "SELECT c.doc_id, count(*) AS n_contaminated_grams "
         "FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id"
+    )
+    # dd_line_dedup: the oracle rebuilds the same planted-chrome lines and
+    # strips hot ones with a list comprehension instead of the engine's
+    # explode/anti-join/reassemble plan — same result, different plan
+    ql["dd_line_dedup"] = (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "lined AS (SELECT doc_id, "
+        "['cookie notice accept all terms'] || "
+        "list_transform(generate_series(0, "
+        "CAST(ceil(len(w) / 8.0) AS INT) - 1), "
+        "i -> array_to_string(w[i*8+1 : i*8+8], ' ')) || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "['subscribe to the newsletter today'] "
+        "ELSE CAST([] AS VARCHAR[]) END AS ls FROM base), "
+        "hot AS (SELECT line FROM (SELECT doc_id, unnest(ls) AS line "
+        "FROM lined) GROUP BY line HAVING count(DISTINCT doc_id) >= 5), "
+        "hl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS h "
+        "FROM hot) "
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM "
+        "(SELECT doc_id, list_filter(ls, "
+        "l -> NOT list_contains(h, l)) AS kept "
+        "FROM lined, hl) WHERE len(kept) > 0"
     )
     # dd_components: the ITERATIVE min-label propagation is oracled via a
     # recursive CTE reachability fixpoint — md5 gram fingerprints keep the

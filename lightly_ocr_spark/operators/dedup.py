@@ -465,3 +465,74 @@ def dup_components(
         edges, nodes=nodes_df.select(F.col("doc_id").alias("id"))
     )
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def line_dedup_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate LINE removal (the RefinedWeb/CCNet move the
+    reference's per-image pipeline has no analog for): any exact line that
+    appears in >= `min_docs` DISTINCT documents is navigation/cookie/footer
+    chrome, not content — strip it from every document and reassemble the
+    survivors in original order.  Documents whose every line was chrome
+    drop out entirely.
+
+    Plan (2 shuffles, both on near-uniform keys): posexplode lines ->
+    count-distinct docs per line (partial aggregation; a line shared by
+    10^9 docs is ONE group, and the (line, doc) dedup inside
+    count_distinct is spread by Spark's expand) -> left_anti join the hot
+    set back onto the exploded lines (AQE broadcasts it when the chrome
+    vocabulary is small, which it always is relative to the corpus) ->
+    groupBy doc, array_sort by position, join with newline."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+
+
+def line_dedup(spark: SparkSession, sf: str, min_docs: int = 5) -> DataFrame:
+    """Driver query for line-level dedup: the flat documents table gains
+    deterministic 'lines' (8-word chunks) plus planted chrome — a cookie
+    banner on EVERY doc and a newsletter footer on every third — then
+    line_dedup_docs strips exactly the chrome (the 8-word body chunks of
+    the tiny-vocab corpus stay under min_docs).  Fully DuckDB-oracled:
+    the oracle rebuilds the same lines and filters them with a list
+    comprehension instead of the join (same result, different plan)."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(w) / F.lit(8)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("cookie notice accept all terms"),
+            F.array_join(body, "\n"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("subscribe to the newsletter today")),
+        ).alias("text"),
+    )
+    return line_dedup_docs(lined, min_docs=min_docs).orderBy("doc_id")

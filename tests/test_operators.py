@@ -202,6 +202,34 @@ class TestConnectedComponents:
         assert len(got) == 41
 
 
+class TestLineDedup:
+    def test_chrome_lines_stripped_order_kept_all_chrome_dropped(self, spark):
+        """Lines in >= min_docs distinct docs are chrome: stripped from
+        every doc, survivors keep original order, all-chrome docs drop
+        out, and a line repeated WITHIN one doc does not count as hot."""
+        from lightly_ocr_spark.operators.dedup import line_dedup_docs
+
+        chrome = "accept all cookies"
+        rows = [
+            (1, f"{chrome}\nunique alpha\nunique beta"),
+            (2, f"unique gamma\n{chrome}\nunique delta"),
+            (3, f"{chrome}"),                       # all chrome -> dropped
+            # same line 3x within ONE doc: intra-doc repetition is not
+            # corpus-level chrome (count is DISTINCT docs)
+            (4, "self repeat\nself repeat\nself repeat"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup_docs(d, min_docs=3).collect()
+        }
+        assert got == {
+            1: "unique alpha\nunique beta",
+            2: "unique gamma\nunique delta",
+            4: "self repeat\nself repeat\nself repeat",
+        }
+
+
 class TestJaccardSkew:
     def test_universal_token_generates_no_pairs(self, spark):
         """A token present in EVERY doc must not become a join key: without

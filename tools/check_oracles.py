@@ -76,15 +76,23 @@ def main() -> int:
     DRIVER_REPORT_CAP = 50
     order = list(qs)
     truncated = order[DRIVER_REPORT_CAP:]
+    # Ordering must be OPTIMAL: a rows-only entry may never occupy a report
+    # slot while an oracled entry sits outside the window.  (With 50+
+    # oracled queries the overflow is unavoidable — this local gate still
+    # checks every one of them.)
+    rows_only_inside = [
+        q for q in order[:DRIVER_REPORT_CAP] if q not in oracles
+    ]
     late_oracled = [q for q in truncated if q in oracles]
-    if late_oracled:
-        print(f"REGISTRY ERROR: oracled queries beyond the driver's "
-              f"{DRIVER_REPORT_CAP}-row report window: {late_oracled}")
+    if rows_only_inside and late_oracled:
+        print(f"REGISTRY ERROR: rows-only {rows_only_inside} occupy driver "
+              f"report slots while oracled {late_oracled} sit beyond the "
+              f"{DRIVER_REPORT_CAP}-row window — reorder queries()")
         return 1
     if truncated:
-        print(f"note: {len(order)} registered, driver will report the first "
-              f"{DRIVER_REPORT_CAP}; rows-only entries outside the window "
-              f"(pytest-covered): {truncated}")
+        print(f"note: {len(order)} registered, driver reports the first "
+              f"{DRIVER_REPORT_CAP}; beyond the window (checked locally "
+              f"here): {truncated}")
 
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = n_rows_only = 0
