@@ -26,7 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from lightly_ocr_spark.operators import dedup, similarity, textstats
+    from lightly_ocr_spark.operators import (
+        classify,
+        dedup,
+        similarity,
+        textstats,
+    )
     from lightly_ocr_spark.operators.extract_udf import (
         extract_documents_query,
         extract_pdf_query,
@@ -117,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled locally via tools/check_oracles.py (beyond the driver's
         # 50-row report window — every slot inside is already oracled)
         "dd_line_dedup": dedup.line_dedup,
+        "ml_nb_langid": classify.ml_nb_langid,
     }
 
 
@@ -385,6 +391,40 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id, list_filter(ls, "
         "l -> NOT list_contains(h, l)) AS kept "
         "FROM lined, hl) WHERE len(kept) > 0"
+    )
+    # ml_nb_langid: the whole train+score NB plan restated in SQL — counts
+    # are exact integers; ln()/round(6) outputs agreed bit-exactly across
+    # engines (same discipline as the other float-bearing oracles)
+    _nbw = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> length(x) > 0)")
+    ql["ml_nb_langid"] = (
+        "WITH toks AS (SELECT lang AS label, unnest(" + _nbw + ") AS word "
+        "FROM documents), "
+        "wc AS (SELECT label, word, count(*) AS c FROM toks GROUP BY 1, 2), "
+        "tot AS (SELECT label, sum(c) AS tot FROM wc GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT word) AS v FROM toks), "
+        "wm AS (SELECT label, word, ln((c + 1.0) / (tot + 1.0 * v)) AS "
+        "log_lik FROM wc JOIN tot USING(label), v), "
+        "dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents "
+        "GROUP BY 1), "
+        "nt AS (SELECT count(*) AS n FROM documents), "
+        "lm AS (SELECT label, ln(n_docs / CAST(n AS DOUBLE)) AS log_prior, "
+        "ln(1.0 / (tot + 1.0 * v)) AS log_unseen "
+        "FROM dc JOIN tot USING(label), nt, v), "
+        "dtoks AS (SELECT doc_id, word, count(*) AS n FROM "
+        "(SELECT doc_id, unnest(" + _nbw + ") AS word FROM documents) "
+        "GROUP BY 1, 2), "
+        "dt AS (SELECT doc_id, sum(n) AS n_words FROM dtoks GROUP BY 1), "
+        "seen AS (SELECT doc_id, label, sum(n * log_lik) AS seen_sum, "
+        "sum(n) AS seen_n FROM dtoks JOIN wm USING(word) GROUP BY 1, 2), "
+        "scored AS (SELECT dt.doc_id, lm.label, lm.log_prior "
+        "+ coalesce(seen.seen_sum, 0.0) "
+        "+ (dt.n_words - coalesce(seen.seen_n, 0)) * lm.log_unseen AS score "
+        "FROM dt CROSS JOIN lm LEFT JOIN seen "
+        "ON seen.doc_id = dt.doc_id AND seen.label = lm.label) "
+        "SELECT doc_id, label AS pred_lang, round(score, 6) AS score FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, label ASC) AS rn FROM scored) WHERE rn = 1"
     )
     # dd_components: the ITERATIVE min-label propagation is oracled via a
     # recursive CTE reachability fixpoint — md5 gram fingerprints keep the

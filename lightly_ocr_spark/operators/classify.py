@@ -1,0 +1,142 @@
+"""In-engine trainable text classifier: multinomial Naive Bayes, expressed
+entirely as DataFrame aggregations.
+
+The training-data pipeline needs a cheap trainable scorer (domain/quality/
+language buckets, a la fastText used by CCNet/RefinedWeb) that trains ON
+the cluster — no driver-side model fit, no external ML runtime.  Multinomial
+NB is exactly two groupBy aggregations, and the fitted model is itself a
+DataFrame (label, word, log_lik), broadcastable at scoring time:
+
+* fit:   word counts per (label, word) + totals per label + vocab size;
+         Laplace-smoothed log likelihoods, log priors from doc counts.
+* score: explode doc words -> join the model (broadcast: |V|x|C| rows) ->
+         per (doc, label) sum + unseen-mass correction -> window argmax.
+
+At 10^12 docs: training is two shuffles over (label, word) keys (the model
+is tiny next to the corpus); scoring is one broadcast join plus one
+doc-keyed aggregation — no iteration, no driver state beyond the scalar
+vocabulary size.  Graft note: the reference's only "classifier" is the
+charset-confidence argmax inside CRNN decoding (`ocr/net.py:190`); this
+operator is the corpus-level analog the webtext pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lightly_ocr_spark.plans.relational import load
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def nb_fit(
+    docs: DataFrame, label_col: str = "label", text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB; returns (word_model, label_model) DataFrames.
+
+    word_model:  (label, word, log_lik)  — ln((c_wl + a) / (tot_l + a*V))
+    label_model: (label, log_prior, log_unseen) — doc-count prior and the
+                 per-label likelihood mass for words never seen with it.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(_words(text_col)).alias("word"),
+    )
+    word_counts = toks.groupBy("label", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = word_counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    # the only driver-side scalar: |V| (one number, any corpus size)
+    vocab = toks.select("word").distinct().count()
+    word_model = (
+        word_counts.join(totals, "label")
+        .select(
+            "label", "word",
+            F.log((F.col("c") + F.lit(alpha))
+                  / (F.col("tot") + F.lit(alpha * vocab))).alias("log_lik"),
+        )
+    )
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = docs.count()
+    label_model = (
+        doc_counts.join(totals, "label")
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_total))).alias("log_prior"),
+            F.log(F.lit(alpha)
+                  / (F.col("tot") + F.lit(alpha * vocab))).alias("log_unseen"),
+        )
+    )
+    return word_model, label_model
+
+
+def nb_predict(
+    docs: DataFrame, word_model: DataFrame, label_model: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Score docs against a fitted model -> (id, pred_label, score).
+
+    score(l) = log_prior_l + sum_w n_w * log_lik(w, l)
+             + (N - seen_l) * log_unseen_l     (unseen-word mass)
+
+    The model join is broadcast (|V|x|C| rows); the label cross join is
+    |C| rows per doc.  Ties break on label ASC for determinism."""
+    toks = (
+        docs.select(id_col, F.explode(_words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_totals = toks.groupBy(id_col).agg(F.sum("n").alias("n_words"))
+    seen = (
+        toks.join(F.broadcast(word_model), "word")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("n") * F.col("log_lik")).alias("seen_sum"),
+            F.sum("n").alias("seen_n"),
+        )
+    )
+    base = doc_totals.crossJoin(F.broadcast(label_model))
+    scored = (
+        base.join(seen, [id_col, "label"], "left")
+        .select(
+            id_col, "label",
+            (
+                F.col("log_prior")
+                + F.coalesce(F.col("seen_sum"), F.lit(0.0))
+                + (F.col("n_words") - F.coalesce(F.col("seen_n"), F.lit(0)))
+                * F.col("log_unseen")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias("pred_label"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def ml_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: train NB on (lang, text) over the documents table and
+    score the same corpus — trainable-classifier plumbing end-to-end in one
+    declarative plan.  Fully DuckDB-oracled (counts are exact integers;
+    ln/round(6) agreed bit-exactly across engines on this fixture)."""
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    word_model, label_model = nb_fit(d, label_col="lang")
+    return nb_predict(d, word_model, label_model).select(
+        "doc_id", F.col("pred_label").alias("pred_lang"), "score"
+    )

@@ -202,6 +202,60 @@ class TestConnectedComponents:
         assert len(got) == 41
 
 
+class TestNaiveBayes:
+    def test_separable_corpus_classified_perfectly(self, spark):
+        """Two classes with disjoint-ish vocab: every training doc must be
+        recovered; a fresh doc of one class's words scores to that class;
+        an all-unseen-words doc resolves by prior + unseen mass (tech's
+        smaller word total gives unseen words a HIGHER smoothed
+        likelihood, ln(1/30) vs ln(1/48), which beats sport's 2:1 prior:
+        -1.10 + 3*(-3.40) > -0.41 + 3*(-3.87))."""
+        from lightly_ocr_spark.operators.classify import nb_fit, nb_predict
+
+        train = spark.createDataFrame(
+            [(i, "sport", "goal match team score win play")
+             for i in range(6)]
+            + [(10 + i, "tech", "code compile deploy server bug patch")
+               for i in range(3)],
+            "doc_id long, label string, text string",
+        )
+        wm, lm = nb_fit(train, label_col="label")
+        got = {
+            r["doc_id"]: r["pred_label"]
+            for r in nb_predict(train, wm, lm).collect()
+        }
+        assert all(got[i] == "sport" for i in range(6))
+        assert all(got[10 + i] == "tech" for i in range(3))
+
+        test = spark.createDataFrame(
+            [(100, "team win goal"), (101, "compile patch bug server"),
+             (102, "zzz qqq www")],  # all unseen -> unseen-mass + prior
+            "doc_id long, text string",
+        )
+        pred = {
+            r["doc_id"]: r["pred_label"]
+            for r in nb_predict(test, wm, lm).collect()
+        }
+        assert pred == {100: "sport", 101: "tech", 102: "tech"}
+
+    def test_langid_query_contract(self, spark):
+        """ml_nb_langid (the fixture's lang labels are independent of its
+        single shared vocabulary, so ACCURACY is meaningless here — the
+        separable-corpus test above carries that; the DuckDB oracle carries
+        the math): one row per doc, labels from the training set,
+        deterministic scores."""
+        from lightly_ocr_spark.operators.classify import ml_nb_langid
+
+        a = {tuple(r) for r in ml_nb_langid(spark, SF).collect()}
+        b = {tuple(r) for r in ml_nb_langid(spark, SF).collect()}
+        assert a == b  # argmax + rounded score deterministic across runs
+        assert len(a) == 500
+        assert len({t[0] for t in a}) == 500  # exactly one row per doc
+        langs = {t[1] for t in a}
+        assert langs <= {"en", "de", "fr", "es", "zh"}
+        assert all(t[2] < 0 for t in a)  # log-domain scores
+
+
 class TestLineDedup:
     def test_chrome_lines_stripped_order_kept_all_chrome_dropped(self, spark):
         """Lines in >= min_docs distinct docs are chrome: stripped from
