@@ -33,6 +33,8 @@ BENCH_QUERY_NAMES = [
     "ex_extract_documents",
     "ex_extract_pdf",
     "dd_jaccard_words",
+    "dd_line_dedup",
+    "ml_nb_langid",
 ]
 
 

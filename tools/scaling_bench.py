@@ -38,8 +38,11 @@ extract_pages(warm).agg(F.count("*")).collect()
 
 out = tempfile.mkdtemp(prefix="scale_out_")
 t0 = time.time()
+# salt=True pinned: the job default is now salt-auto (narrow for parquet),
+# but this protocol deliberately measures the salted form — it has the
+# shuffle a host-keyed downstream would add, comparable with prior rounds
 summary = run_extract(spark, pages_dir, out, n_slices=4, resume=False,
-                      salt_partitions=2 * cores)
+                      salt_partitions=2 * cores, salt=True)
 wall = time.time() - t0
 shutil.rmtree(out, ignore_errors=True)
 print(json.dumps({{"cores": cores, "docs": summary["rows_out"],
