@@ -96,21 +96,22 @@ def media_features_per_url(media: DataFrame) -> DataFrame:
     Input: media parquet with MEDIA_SCHEMA columns plus a `url` linking
     each item to its page.  Corrupt images (bad magic/CRC, truncated
     header, dimensions disagreeing with declared meta) are dropped by
-    `valid_media`; survivors get Arrow-batched features, then one
-    url-keyed aggregate: item count and a deterministic per-url media
-    fingerprint (sha256 over the sorted item hashes).  Scalars only —
-    the curated table stays one row per url."""
+    `valid_media`; survivors get Arrow-batched features (url carried
+    through the stage — single pass, no re-join), then one url-keyed
+    aggregate: item count and a deterministic per-url media fingerprint
+    (sha256 over the sorted item hashes).  Scalars only — the curated
+    table stays one row per url."""
     from lightly_ocr_spark.operators.multimodal import (
         featurize_media,
         valid_media,
     )
 
-    kept = valid_media(media)
-    feats = featurize_media(kept)
+    # url rides THROUGH the featurize stage: joining features back to
+    # kept on media_id would re-execute the whole probe/validity subtree
+    # (and its Arrow stage) a second time per action
+    feats = featurize_media(valid_media(media))
     return (
-        kept.select("media_id", "url")
-        .join(feats, "media_id")
-        .groupBy("url")
+        feats.groupBy("url")
         .agg(
             F.count(F.lit(1)).alias("n_valid_media"),
             F.sha2(

@@ -248,6 +248,8 @@ def main() -> None:
     from lightly_ocr_spark.plans.session import build_session
 
     spark = build_session("extract-job", cores=args.cores, python_heavy=True)
+    if args.no_salt and args.salt == "on":
+        ap.error("--no-salt contradicts --salt on; pick one")
     salt = {"auto": None, "on": True, "off": False}[args.salt]
     if args.no_salt:
         salt = False

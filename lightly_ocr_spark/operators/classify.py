@@ -43,19 +43,33 @@ def nb_fit(
     word_model:  (label, word, log_lik)  — ln((c_wl + a) / (tot_l + a*V))
     label_model: (label, log_prior, log_unseen) — doc-count prior and the
                  per-label likelihood mass for words never seen with it.
+
+    Exactly two corpus-wide passes (the (label, word) aggregation and the
+    per-label doc count); both aggregates are persisted at model scale
+    (|L|x|V| and |C| rows) so deriving |V|/priors and the scoring join
+    never re-scan the corpus.  Driver pulls: |V| (one long) and the |C|
+    doc counts.
     """
+    from pyspark import StorageLevel
+
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(_words(text_col)).alias("word"),
     )
+    # |L|x|V| rows — model-scale, NOT corpus-scale; persisted so every
+    # derived quantity below (and the scoring join later) reads the
+    # aggregate instead of re-exploding the corpus.  Exactly TWO
+    # corpus-wide passes happen in fit: this aggregation and doc_counts.
     word_counts = toks.groupBy("label", "word").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = word_counts.groupBy("label").agg(F.sum("c").alias("tot"))
-    # the only driver-side scalar: |V| (one number, any corpus size)
-    vocab = toks.select("word").distinct().count()
+    # the only driver-side scalars: |V| and the per-label doc counts
+    # (|C| rows) — both independent of corpus size.  |V| comes from the
+    # persisted aggregate, not a second corpus explode.
+    vocab = word_counts.select("word").distinct().count()
     word_model = (
-        word_counts.join(totals, "label")
+        word_counts.join(F.broadcast(totals), "label")
         .select(
             "label", "word",
             F.log((F.col("c") + F.lit(alpha))
@@ -64,10 +78,12 @@ def nb_fit(
     )
     doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
-    n_total = docs.count()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # n_total from the |C|-row aggregate (fills its cache) — never a
+    # separate full docs.count() scan
+    n_total = sum(r["n_docs"] for r in doc_counts.select("n_docs").collect())
     label_model = (
-        doc_counts.join(totals, "label")
+        doc_counts.join(F.broadcast(totals), "label")
         .select(
             "label",
             F.log(F.col("n_docs") / F.lit(float(n_total))).alias("log_prior"),

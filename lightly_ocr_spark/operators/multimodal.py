@@ -226,32 +226,42 @@ def _featurize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         payloads = pdf["payload"]
         feats = [fake_image_features(p).tolist() for p in payloads]
-        yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"].to_numpy(),
-                "kind": pdf["kind"].to_numpy(),
-                "n_bytes": payloads.map(lambda p: len(p or b"")).astype("int64"),
-                "payload_sha256": payloads.map(
-                    lambda p: hashlib.sha256(p or b"").hexdigest()
-                ),
-                "features": pd.Series(feats, dtype="object"),
-                # honest provenance: the features ARE the sha256 stub even
-                # when PIL happens to be importable (decode_image has no
-                # real path yet) — labeling them "pil" would let auditors
-                # trust hash noise as pixel-derived embeddings
-                "decoder": "stub-sha256",
-            }
-        )
+        out = {
+            "media_id": pdf["media_id"].to_numpy(),
+            "kind": pdf["kind"].to_numpy(),
+            "n_bytes": payloads.map(lambda p: len(p or b"")).astype("int64"),
+            "payload_sha256": payloads.map(
+                lambda p: hashlib.sha256(p or b"").hexdigest()
+            ),
+            "features": pd.Series(feats, dtype="object"),
+            # honest provenance: the features ARE the sha256 stub even
+            # when PIL happens to be importable (decode_image has no
+            # real path yet) — labeling them "pil" would let auditors
+            # trust hash noise as pixel-derived embeddings
+            "decoder": "stub-sha256",
+        }
+        if "url" in pdf.columns:
+            out["url"] = pdf["url"].to_numpy()
+        yield pd.DataFrame(out)
 
 
 def featurize_media(media: DataFrame) -> DataFrame:
     """media table -> per-item features (Arrow-batched, schema-stable).
+    A `url` column, when present, is carried through the stage so callers
+    can aggregate per page WITHOUT re-joining (a join back on media_id
+    would re-execute the upstream probe/validity subtree).
 
     At scale: salt by xxhash64(media_id) before this stage if payload sizes
     are heavy-tailed (video >> thumbnails) — same skew treatment as pages."""
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        _featurize_partition, schema=FEATURES_SCHEMA
-    )
+    cols = ["media_id", "kind", "payload"]
+    schema = FEATURES_SCHEMA
+    if "url" in media.columns:
+        cols.append("url")
+        schema = T.StructType(
+            FEATURES_SCHEMA.fields
+            + [T.StructField("url", T.StringType(), True)]
+        )
+    return media.select(*cols).mapInPandas(_featurize_partition, schema=schema)
 
 
 def make_png(width: int, height: int, tail: bytes = b"") -> bytes:

@@ -65,28 +65,32 @@ def _strip_http_envelope(payload: bytes) -> bytes:
 _NEED_MORE = -1
 
 
-def _next_record(buf: bytes, pos: int, final: bool) -> tuple[dict | None, int]:
+def _next_record(buf: bytes, pos: int) -> tuple[dict | None, int, int]:
     """Parse one record starting at/after `pos`.
 
-    Returns (record_or_None, new_pos); new_pos == _NEED_MORE means the
-    buffer holds no complete record from `pos` — wait for more data
-    (or, when `final`, stop: the tail is garbage or a truncated record,
-    dropped exactly as before)."""
+    Returns (record_or_None, new_pos, keep_from); new_pos == _NEED_MORE
+    means the buffer holds no complete record from `pos` — wait for more
+    data (at end of input the pending tail is garbage or a truncated
+    record, dropped).  `keep_from` is the earliest offset the next attempt
+    could need: the start of the pending record if one is in sight, else
+    everything but a possible 'WARC/'-prefix straddle — bytes before it
+    are safely discardable, which is what keeps garbage input linear-time
+    and bounded-memory instead of rescanning an ever-growing buffer."""
     start = buf.find(b"WARC/", pos)
     if start < 0:
-        return None, _NEED_MORE
+        return None, _NEED_MORE, max(pos, len(buf) - 4)
     head_end = buf.find(b"\r\n\r\n", start)
     if head_end < 0:
-        return None, _NEED_MORE
+        return None, _NEED_MORE, start
     headers = _parse_headers(bytes(buf[start:head_end]))
     try:
         length = int(headers.get(b"content-length", b""))
     except ValueError:
-        return None, head_end + 4  # malformed: skip past this header
+        return None, head_end + 4, head_end + 4  # malformed: skip header
     body_start = head_end + 4
     body_end = body_start + length
     if body_end > len(buf):
-        return None, _NEED_MORE  # incomplete (or, if final, truncated)
+        return None, _NEED_MORE, start  # incomplete: keep whole record
     rec = None
     if headers.get(b"warc-type") == b"response":
         uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
@@ -98,20 +102,22 @@ def _next_record(buf: bytes, pos: int, final: bool) -> tuple[dict | None, int]:
                 ),
                 "html": _strip_http_envelope(bytes(buf[body_start:body_end])),
             }
-    return rec, body_end
+    return rec, body_end, body_end
 
 
 def _iter_records(chunks: Iterator[bytes]) -> Iterator[dict]:
     """Streaming record parse over decompressed chunks: complete records
     are yielded and released as soon as their bytes arrive; only the
-    unparsed tail (normally < one record) is carried across chunks."""
+    bytes the next parse could still need (normally < one record, and for
+    magic-less garbage at most 4 bytes) are carried across chunks."""
     buf = bytearray()
     for chunk in chunks:
         buf += chunk
         pos = 0
         while True:
-            rec, nxt = _next_record(buf, pos, final=False)
+            rec, nxt, keep = _next_record(buf, pos)
             if nxt == _NEED_MORE:
+                pos = keep
                 break
             pos = nxt
             if rec is not None:
@@ -120,7 +126,7 @@ def _iter_records(chunks: Iterator[bytes]) -> Iterator[dict]:
             del buf[:pos]
     pos = 0
     while True:
-        rec, nxt = _next_record(buf, pos, final=True)
+        rec, nxt, _ = _next_record(buf, pos)
         if nxt == _NEED_MORE:
             return  # truncated/garbage tail: dropped, never raised
         pos = nxt

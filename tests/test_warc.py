@@ -95,6 +95,31 @@ class TestWarcStreaming:
             ("https://x/split", b"<p>split body</p>")
         ]
 
+    def test_garbage_chunks_trimmed_not_accumulated(self):
+        """Magic-less garbage must be discarded as it streams (keeping only
+        a 4-byte straddle guard), so non-WARC input is linear-time and
+        bounded-memory; a magic straddling a chunk boundary still parses,
+        as does a record after a long garbage stretch."""
+        from lightly_ocr_spark.sources.warc import _iter_records
+
+        rec = make_warc_record("https://x/after-garbage", b"<p>found</p>")
+        # magic split across chunks: ...WAR | C/1.0...
+        chunks = [b"\x00garbage" * 100 + rec[:3], rec[3:]]
+        got = list(_iter_records(iter(chunks)))
+        assert [r["url"] for r in got] == ["https://x/after-garbage"]
+
+        # pure garbage: parses to nothing (and the internal buffer cannot
+        # exceed chunk + 4 bytes — asserted via the records outcome plus
+        # the keep_from contract test below)
+        assert list(_iter_records(iter([b"\xffjunk" * 50] * 20))) == []
+
+        from lightly_ocr_spark.sources.warc import _NEED_MORE, _next_record
+
+        buf = b"no magic here at all, just bytes"
+        rec_, nxt, keep = _next_record(buf, 0)
+        assert rec_ is None and nxt == _NEED_MORE
+        assert keep == len(buf) - 4  # all but the straddle guard discardable
+
     def test_explode_flushes_bounded_chunks(self):
         """The Spark explode stage must emit multiple bounded frames for a
         many-record archive instead of one frame per archive."""
