@@ -73,6 +73,42 @@ class TestPlanShape:
         assert "BatchEvalPython" not in plan   # no row-at-a-time Python
         assert "ArrowEvalPython" not in plan   # no Python at all here
 
+    def test_bucketed_join_is_shuffle_free(self, spark):
+        """Two tables bucketed identically on url must equi-join with ZERO
+        Exchange operators (the write pre-paid the shuffle), while the same
+        join over plain parquet shuffles both sides; results identical.
+        Broadcast disabled so the test exercises the sort-merge path a
+        too-big-to-broadcast table would take."""
+        from lightly_ocr_spark.plans.bucketed import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        left = docs.selectExpr("concat('u', doc_id) AS url", "text")
+        right = docs.selectExpr("concat('u', doc_id) AS url",
+                                "lang", "n_chars")
+        write_bucketed(left, "bk_left", "url", buckets=8)
+        write_bucketed(right, "bk_right", "url", buckets=8)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = bucketed_join(spark, "bk_left", "bk_right", "url")
+            plan = plan_of(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:1200]
+
+            baseline = left.join(right, "url")
+            base_plan = plan_of(baseline)
+            assert "Exchange" in base_plan  # plain path DOES shuffle
+
+            got = sorted(tuple(r) for r in j.collect())
+            want = sorted(tuple(r) for r in baseline.collect())
+            assert got == want and len(got) == 500
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS bk_left")
+            spark.sql("DROP TABLE IF EXISTS bk_right")
+
     def test_ivf_indexed_probe_is_partition_pruned(self, spark, tmp_path):
         """The persisted IVF index is partitioned by cell, so a probe must
         appear in the scan's PartitionFilters (metadata-only pruning) — and

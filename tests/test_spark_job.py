@@ -237,3 +237,44 @@ class TestRawDirIngest:
         assert len(out) == 1
         assert out[0]["text"] == ("ten little words fill this paragraph "
                                   "right here now")
+
+
+class TestCompactJob:
+    def test_many_small_files_compact_losslessly(self, spark, tmp_path):
+        """64 tiny files -> few target-size files: same rows/values, a
+        _compaction manifest, and the original left untouched on row
+        mismatch (verified by the abort path's own guard)."""
+        from lightly_ocr_spark.jobs.compact_job import run_compact
+
+        src = str(tmp_path / "many_small")
+        df = spark.range(10000).selectExpr(
+            "id", "concat('text for row ', id) AS text"
+        )
+        df.repartition(64).write.parquet(src)
+        n_in = len(glob.glob(os.path.join(src, "*.parquet")))
+        assert n_in >= 32  # genuinely many small files
+
+        out = str(tmp_path / "compacted")
+        m = run_compact(spark, src, out, target_bytes=1 << 20)
+        assert m["rows"] == 10000
+        assert m["files_out"] < m["files_in"]
+        assert m["files_out"] <= 4
+
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in df.collect())
+        assert got == want
+        assert os.path.exists(os.path.join(out, "_compaction.json"))
+
+    def test_compact_replaces_existing_output_atomically(self, spark, tmp_path):
+        from lightly_ocr_spark.jobs.compact_job import run_compact
+
+        src = str(tmp_path / "src")
+        spark.range(500).write.parquet(src)
+        out = str(tmp_path / "dst")
+        run_compact(spark, src, out)
+        # second run against the SAME out dir replaces it, same contents
+        m = run_compact(spark, src, out)
+        assert m["rows"] == 500
+        assert spark.read.parquet(out).count() == 500
+        assert not os.path.exists(out + ".inprogress")
+        assert not os.path.exists(out + ".replaced")
