@@ -23,6 +23,7 @@ Caveats encoded here rather than left to callers:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -49,3 +50,30 @@ def bucketed_join(
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, key)
+
+
+def salted_join(
+    left: DataFrame, right: DataFrame, key: str, salt: int = 16,
+) -> DataFrame:
+    """Skew-proof big-to-medium equi-join: explode the RIGHT side into
+    `salt` replicas and scatter the LEFT side's hot keys across them.
+
+    AQE's skew-join splits oversized PARTITIONS after the shuffle, but a
+    single key hot enough to dwarf one task (one host with 10^9 rows
+    joining its metadata) still lands every row on one reducer in a plain
+    shuffle join — this operator pre-splits the KEY itself: the left side
+    salts each row into one of `salt` sub-keys (deterministic xxhash64 of
+    the row's key plus a monotonically varying term), the right side is
+    replicated `salt` times, and the join key becomes (key, salt_id).
+    Cost: right side inflates x`salt` (use only when right is the
+    medium-but-too-big-to-broadcast side); hot-key rows spread over `salt`
+    tasks instead of one.  Results equal the plain join exactly (tested),
+    output columns = left's + right's non-key columns."""
+    salt_col = F.pmod(
+        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)
+    ).cast("int")
+    lt = left.withColumn("_salt", salt_col)
+    rt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lt.join(rt, [key, "_salt"]).drop("_salt")

@@ -109,6 +109,40 @@ class TestPlanShape:
             spark.sql("DROP TABLE IF EXISTS bk_left")
             spark.sql("DROP TABLE IF EXISTS bk_right")
 
+    def test_salted_join_equals_plain_join_and_spreads_hot_key(self, spark):
+        """salted_join: identical rows to the plain equi-join on a corpus
+        where ONE key carries 80% of the left side; the hot key's rows
+        spread across multiple (key, salt) sub-keys instead of one."""
+        from lightly_ocr_spark.plans.bucketed import salted_join
+
+        left = spark.range(5000).selectExpr(
+            "CASE WHEN id % 5 < 4 THEN 'hot.example' "
+            "ELSE concat('h', id % 97) END AS host",
+            "id AS row_id",
+        )
+        right = spark.createDataFrame(
+            [("hot.example", 1)] + [(f"h{i}", 0) for i in range(97)],
+            "host string, is_hot int",
+        )
+        got = salted_join(left, right, "host", salt=8)
+        want = left.join(right, "host")
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+        # the hot key's left rows really fan out over >1 salt bucket
+        from lightly_ocr_spark.plans.bucketed import salted_join as _sj  # noqa
+        lt = left.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("host"),
+                              F.monotonically_increasing_id()),
+                   F.lit(8)).cast("int"),
+        )
+        n_buckets = (
+            lt.filter(F.col("host") == "hot.example")
+            .select("_salt").distinct().count()
+        )
+        assert n_buckets >= 6, n_buckets
+
     def test_ivf_indexed_probe_is_partition_pruned(self, spark, tmp_path):
         """The persisted IVF index is partitioned by cell, so a probe must
         appear in the scan's PartitionFilters (metadata-only pruning) — and
