@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row report window — every slot inside is already oracled)
         "dd_line_dedup": dedup.line_dedup,
         "ml_nb_langid": classify.ml_nb_langid,
+        "ta_chunking": textstats.chunking,
     }
 
 
@@ -391,6 +392,21 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id, list_filter(ls, "
         "l -> NOT list_contains(h, l)) AS kept "
         "FROM lined, hl) WHERE len(kept) > 0"
+    )
+    # ta_chunking: exact integer chunk-count math + deterministic token
+    # slicing on both engines (window 64, stride 48)
+    ql["ta_chunking"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        "'\\s+'), x -> length(x) > 0) AS ws FROM documents), "
+        "nc AS (SELECT doc_id, ws, len(ws) AS n, "
+        "CASE WHEN len(ws) <= 64 THEN 1 "
+        "ELSE (len(ws) - 64 + 47) // 48 + 1 END AS n_chunks FROM w) "
+        "SELECT doc_id, u.chunk_idx, u.chunk, u.n_tokens FROM ("
+        "SELECT doc_id, unnest(list_transform(generate_series(0, "
+        "CAST(n_chunks AS INT) - 1), i -> {"
+        "'chunk_idx': CAST(i AS INT), "
+        "'chunk': array_to_string(ws[i*48+1 : i*48+64], ' '), "
+        "'n_tokens': CAST(least(64, n - i*48) AS INT)})) AS u FROM nc)"
     )
     # ml_nb_langid: the whole train+score NB plan restated in SQL — counts
     # are exact integers; ln()/round(6) outputs agreed bit-exactly across

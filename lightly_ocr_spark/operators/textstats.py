@@ -273,3 +273,50 @@ def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def chunk_docs(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 64, stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking — the standard LLM-training prep step the
+    reference's per-image pipeline has no analog for: split each document
+    into fixed-size whitespace-token windows with overlap (stride <
+    window), so long documents become training-sized rows and context is
+    never cut mid-window without an overlapping neighbor.
+
+    Chunk count is exact integer math (1 when n_tokens <= window, else
+    (n - window + stride - 1) // stride + 1), all chunk text built
+    JVM-side (transform + slice + concat_ws, one explode — no Python).
+    Output: (id, chunk_idx, chunk, n_tokens); the final chunk may be
+    short, every earlier chunk is exactly `window` tokens."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    w = F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: F.length(x) > 0)
+    n = F.size(w)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, i * stride + 1, window))
+            .alias("chunk"),
+            F.least(F.lit(window), n - i * stride).cast("int")
+            .alias("n_tokens"),
+        ),
+    )
+    return d.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk", "c.n_tokens"
+    )
+
+
+def chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: chunk the documents table (window 64, stride 48 —
+    documents run 20-200 words, so most produce 1-4 overlapping chunks).
+    Fully DuckDB-oracled: exact integer chunk-count math, deterministic
+    token slicing on both engines."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return chunk_docs(d)

@@ -202,6 +202,49 @@ class TestConnectedComponents:
         assert len(got) == 41
 
 
+class TestChunking:
+    def test_windows_overlap_and_cover_every_token(self, spark):
+        from lightly_ocr_spark.operators.textstats import chunk_docs
+
+        text = " ".join(f"w{i}" for i in range(150))
+        d = spark.createDataFrame(
+            [(1, text), (2, "short doc only"), (3, "x " * 64)],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk"], r["n_tokens"])
+            for r in chunk_docs(d, window=64, stride=48).collect()
+        )
+        by_doc: dict[int, list] = {}
+        for doc, idx, chunk, n in rows:
+            by_doc.setdefault(doc, []).append((idx, chunk, n))
+        # doc 1: 150 tokens -> ceil((150-64)/48)+1 = 3 chunks at 0/48/96
+        assert [i for i, _, _ in by_doc[1]] == [0, 1, 2]
+        assert [n for _, _, n in by_doc[1]] == [64, 64, 54]
+        # every chunk's words are exactly the expected slice, so overlap
+        # regions repeat and every token index is covered
+        words = text.split()
+        for idx, chunk, n in by_doc[1]:
+            assert chunk.split() == words[idx * 48: idx * 48 + 64]
+        covered = set()
+        for idx, _, n in by_doc[1]:
+            covered.update(range(idx * 48, idx * 48 + n))
+        assert covered == set(range(150))
+        # short docs: exactly one chunk, the whole text
+        assert by_doc[2] == [(0, "short doc only", 3)]
+        # boundary: exactly window tokens -> one chunk
+        assert len(by_doc[3]) == 1 and by_doc[3][0][2] == 64
+
+    def test_chunking_rejects_bad_stride(self, spark):
+        from lightly_ocr_spark.operators.textstats import chunk_docs
+
+        d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="stride"):
+            chunk_docs(d, window=10, stride=0)
+        with pytest.raises(ValueError, match="stride"):
+            chunk_docs(d, window=10, stride=11)
+
+
 class TestNaiveBayes:
     def test_separable_corpus_classified_perfectly(self, spark):
         """Two classes with disjoint-ish vocab: every training doc must be
