@@ -239,3 +239,64 @@ class TestStatefulDedup:
 
         out = streaming_dedup(spark, str(d), max_files_per_trigger=1)
         assert out.count() == 10                    # 90 intra-batch repeats
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_parity_with_batch(self, spark, tmp_path):
+        """Stream-stream interval join (watermarks both sides, bounded
+        state) returns exactly the batch join's rows: every click matches
+        the views within [view_ts, view_ts + gap] for its user, clicks
+        outside any gap match nothing."""
+        import pandas as pd
+
+        from lightly_ocr_spark.streaming.stream_join import (
+            attribution_join,
+            run_attribution_stream,
+        )
+
+        def ts(minutes):
+            return pd.Timestamp("2024-01-01 00:00:00", tz="UTC") \
+                + pd.Timedelta(minutes=minutes)
+
+        vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+        views = pd.DataFrame({
+            "user_id": [1, 1, 2, 3],
+            "view_ts": pd.Series(
+                [ts(0), ts(30), ts(5), ts(0)], dtype="datetime64[us, UTC]"
+            ),
+        })
+        clicks = pd.DataFrame({
+            "user_id": [1, 1, 2, 3, 9],
+            "click_ts": pd.Series(
+                # u1: matches view@0 (+3m) and view@30 (+32m);
+                # u2: +25m after its view -> outside 10m gap, no match;
+                # u3: exactly at the gap boundary (inclusive);
+                # u9: no view at all
+                [ts(3), ts(32), ts(30), ts(10), ts(1)],
+                dtype="datetime64[us, UTC]",
+            ),
+        })
+        # two files per side so the stream sees multiple triggers
+        pd_views = [views.iloc[:2], views.iloc[2:]]
+        pd_clicks = [clicks.iloc[:3], clicks.iloc[3:]]
+        import os
+        os.makedirs(vdir), os.makedirs(cdir)
+        for i, part in enumerate(pd_views):
+            part.to_parquet(os.path.join(vdir, f"v{i}.parquet"))
+        for i, part in enumerate(pd_clicks):
+            part.to_parquet(os.path.join(cdir, f"c{i}.parquet"))
+
+        got = sorted(
+            (r["user_id"], str(r["view_ts"]), str(r["click_ts"]), r["lag_s"])
+            for r in run_attribution_stream(spark, vdir, cdir).collect()
+        )
+        want = sorted(
+            (r["user_id"], str(r["view_ts"]), str(r["click_ts"]), r["lag_s"])
+            for r in attribution_join(
+                spark.read.parquet(vdir), spark.read.parquet(cdir)
+            ).collect()
+        )
+        assert got == want
+        users = [g[0] for g in got]
+        assert users == [1, 1, 3]          # u2 outside gap, u9 unmatched
+        assert [g[3] for g in got] == [180, 120, 600]  # lags in seconds
