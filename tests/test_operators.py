@@ -794,3 +794,123 @@ class TestSchemaMigration:
         assert chained.columns == ["b", "c"]
         r2 = chained.first()
         assert r2["b"] == 1 and r2["c"] == 2
+
+
+class TestNewOperatorProperties:
+    """Random-corpus equivalence against independent pure-Python references
+    (the union-find-style property gate that catches propagation bugs
+    hand-built fixtures miss)."""
+
+    def test_nb_scores_match_python_reference(self, spark):
+        import math
+        import random
+        from collections import Counter, defaultdict
+
+        from lightly_ocr_spark.operators.classify import nb_fit, nb_predict
+
+        rng = random.Random(737)
+        vocab = [f"t{i}" for i in range(20)]
+        for trial in range(3):
+            labels = ["a", "b", "c"][: rng.randrange(2, 4)]
+            docs = []
+            for i in range(40):
+                lab = rng.choice(labels)
+                words = [rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 15))]
+                docs.append((i, lab, " ".join(words)))
+            d = spark.createDataFrame(
+                docs, "doc_id long, label string, text string"
+            )
+            wm, lm = nb_fit(d, label_col="label")
+            got = {
+                r["doc_id"]: (r["pred_label"], r["score"])
+                for r in nb_predict(d, wm, lm).collect()
+            }
+
+            # independent reference (Counter-based, math.log, fsum)
+            wc: dict = defaultdict(Counter)
+            dc: Counter = Counter()
+            for _, lab, text in docs:
+                dc[lab] += 1
+                wc[lab].update(text.lower().split())
+            V = len({w for c in wc.values() for w in c})
+            tot = {lab: sum(c.values()) for lab, c in wc.items()}
+            n_total = sum(dc.values())
+
+            def score(text, lab):
+                words = text.lower().split()
+                s = [math.log(dc[lab] / n_total)]
+                for w in words:
+                    c = wc[lab].get(w, 0)
+                    s.append(math.log((c + 1.0) / (tot[lab] + 1.0 * V)))
+                return math.fsum(s)
+
+            for i, lab, text in docs:
+                best = min(
+                    ((-score(text, cl), cl) for cl in labels),
+                )
+                want_label = best[1]
+                assert got[i][0] == want_label, (trial, i)
+                assert abs(got[i][1] - (-best[0])) < 1e-6, (trial, i)
+
+    def test_line_dedup_matches_python_reference(self, spark):
+        import random
+        from collections import defaultdict
+
+        from lightly_ocr_spark.operators.dedup import line_dedup_docs
+
+        rng = random.Random(991)
+        lines_pool = [f"line {i} words here" for i in range(12)]
+        for trial in range(3):
+            min_docs = rng.randrange(2, 5)
+            docs = []
+            for i in range(30):
+                ls = [rng.choice(lines_pool)
+                      for _ in range(rng.randrange(1, 8))]
+                docs.append((i, "\n".join(ls)))
+            d = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r["doc_id"]: r["text"]
+                for r in line_dedup_docs(d, min_docs=min_docs).collect()
+            }
+
+            seen: dict = defaultdict(set)
+            for i, text in docs:
+                for ln in text.split("\n"):
+                    seen[ln].add(i)
+            hot = {ln for ln, s in seen.items() if len(s) >= min_docs}
+            want = {}
+            for i, text in docs:
+                kept = [ln for ln in text.split("\n") if ln not in hot]
+                if kept:
+                    want[i] = "\n".join(kept)
+            assert got == want, (trial, min_docs)
+
+    def test_chunking_matches_python_reference(self, spark):
+        import random
+
+        from lightly_ocr_spark.operators.textstats import chunk_docs
+
+        rng = random.Random(313)
+        for window, stride in [(8, 8), (8, 5), (16, 3)]:
+            docs = [
+                (i, " ".join(f"w{rng.randrange(50)}"
+                             for _ in range(rng.randrange(1, 60))))
+                for i in range(25)
+            ]
+            d = spark.createDataFrame(docs, "doc_id long, text string")
+            got = sorted(
+                (r["doc_id"], r["chunk_idx"], r["chunk"], r["n_tokens"])
+                for r in chunk_docs(d, window=window, stride=stride).collect()
+            )
+            want = []
+            for i, text in docs:
+                words = text.split()
+                n = len(words)
+                n_chunks = 1 if n <= window else (
+                    (n - window + stride - 1) // stride + 1
+                )
+                for k in range(n_chunks):
+                    sl = words[k * stride: k * stride + window]
+                    want.append((i, k, " ".join(sl), len(sl)))
+            assert got == sorted(want), (window, stride)
