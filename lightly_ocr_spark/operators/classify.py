@@ -156,3 +156,21 @@ def ml_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
     return nb_predict(d, word_model, label_model).select(
         "doc_id", F.col("pred_label").alias("pred_lang"), "score"
     )
+
+
+def nb_save(word_model: DataFrame, label_model: DataFrame, path: str) -> None:
+    """Persist a fitted model for cross-job reuse (train once on the
+    cluster, score any later corpus without refitting).  Two parquet
+    datasets — model-scale (|L|x|V| and |C| rows), trivially broadcastable
+    on load."""
+    word_model.write.mode("overwrite").parquet(f"{path}/word_model")
+    label_model.write.mode("overwrite").parquet(f"{path}/label_model")
+
+
+def nb_load(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a model written by nb_save; returns (word_model, label_model)
+    ready for nb_predict."""
+    return (
+        spark.read.parquet(f"{path}/word_model"),
+        spark.read.parquet(f"{path}/label_model"),
+    )

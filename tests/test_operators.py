@@ -914,3 +914,36 @@ class TestNewOperatorProperties:
                     sl = words[k * stride: k * stride + window]
                     want.append((i, k, " ".join(sl), len(sl)))
             assert got == sorted(want), (window, stride)
+
+
+class TestNBPersistence:
+    def test_saved_model_scores_identically(self, spark, tmp_path):
+        """nb_save/nb_load roundtrip: the loaded model must produce
+        bit-identical predictions and scores on a fresh corpus."""
+        from lightly_ocr_spark.operators.classify import (
+            nb_fit,
+            nb_load,
+            nb_predict,
+            nb_save,
+        )
+
+        train = spark.createDataFrame(
+            [(i, "sport", "goal match team win") for i in range(5)]
+            + [(10 + i, "tech", "code deploy server bug") for i in range(5)],
+            "doc_id long, label string, text string",
+        )
+        wm, lm = nb_fit(train, label_col="label")
+        path = str(tmp_path / "nb_model")
+        nb_save(wm, lm, path)
+        wm2, lm2 = nb_load(spark, path)
+
+        test = spark.createDataFrame(
+            [(100, "team goal code"), (101, "server bug deploy code"),
+             (102, "goal match win team")],
+            "doc_id long, text string",
+        )
+        a = sorted(tuple(r) for r in nb_predict(test, wm, lm).collect())
+        b = sorted(tuple(r) for r in nb_predict(test, wm2, lm2).collect())
+        assert a == b
+        assert {t[0]: t[1] for t in b} == {100: "sport", 101: "tech",
+                                           102: "sport"}
