@@ -479,23 +479,24 @@ def line_dedup_docs(
     drop out entirely.
 
     Plan (2 shuffles, both on near-uniform keys): posexplode lines ->
-    count-distinct docs per line (partial aggregation; a line shared by
-    10^9 docs is ONE group, and the (line, doc) dedup inside
-    count_distinct is spread by Spark's expand) -> left_anti join the hot
-    set back onto the exploded lines (AQE broadcasts it when the chrome
-    vocabulary is small, which it always is relative to the corpus) ->
-    groupBy doc, array_sort by position, join with newline."""
+    count-distinct docs per line FINGERPRINT (md5 — the aggregation and
+    the anti-join shuffle 16-byte keys, never the line text itself;
+    128-bit collisions are negligible even at 10^12 lines, where a 64-bit
+    key would already collide tens of thousands of times) -> left_anti
+    join the hot set back onto the exploded lines (AQE broadcasts it when
+    the chrome vocabulary is small, which it always is relative to the
+    corpus) -> groupBy doc, array_sort by position, join with newline."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("lh", F.md5("line"))
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("line")
+        .select("lh")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    kept = lines.join(hot, "lh", "left_anti")
     return (
         kept.groupBy(id_col)
         .agg(
