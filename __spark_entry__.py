@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_line_dedup": dedup.line_dedup,
         "ml_nb_langid": classify.ml_nb_langid,
         "ta_chunking": textstats.chunking,
+        "ta_pii_scrub": textstats.pii_scrub,
     }
 
 
@@ -392,6 +393,38 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id, list_filter(ls, "
         "l -> NOT list_contains(h, l)) AS kept "
         "FROM lined, hl) WHERE len(kept) > 0"
+    )
+    # ta_pii_scrub: identical regex literals in both engines (Java regex /
+    # RE2 dialect intersection: no lookaround, no backreferences)
+    from lightly_ocr_spark.operators.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    def _dq(pat: str) -> str:
+        # DuckDB single-quoted literals do NOT process backslash escapes —
+        # only quotes need doubling; doubling backslashes would corrupt \b/\d
+        return pat.replace("'", "''")
+
+    ql["ta_pii_scrub"] = (
+        "WITH planted AS (SELECT doc_id, "
+        "'contact user' || doc_id || '@mail' || doc_id || "
+        "'.example.com or 10.0.' || (doc_id % 256) || '.7 or +4930' || "
+        "doc_id || '1234567 not-an-ip 999.999 ' || text AS text "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_dq(PII_EMAIL_RE)}')) AS "
+        "BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{_dq(PII_IPV4_RE)}')) AS "
+        "BIGINT) AS n_ipv4, "
+        f"CAST(len(regexp_extract_all(text, '{_dq(PII_PHONE_RE)}')) AS "
+        "BIGINT) AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_dq(PII_EMAIL_RE)}', '<EMAIL>', 'g'), "
+        f"'{_dq(PII_IPV4_RE)}', '<IP>', 'g'), "
+        f"'{_dq(PII_PHONE_RE)}', '<PHONE>', 'g') AS scrubbed "
+        "FROM planted"
     )
     # ta_chunking: exact integer chunk-count math + deterministic token
     # slicing on both engines (window 64, stride 48)

@@ -320,3 +320,55 @@ def chunking(spark: SparkSession, sf: str) -> DataFrame:
     token slicing on both engines."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     return chunk_docs(d)
+
+
+# PII patterns — shared by the engine and the DuckDB oracle; written in the
+# dialect intersection of Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{9,15}"
+
+
+def pii_scrub_df(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers and count each
+    (the standard pre-training privacy pass).  Pure JVM regexp chains —
+    codegen'd, no Python; counts via regexp_extract_all so the DuckDB
+    oracle is the literal same expression."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(n)
+        for n, pat in [("n_emails", PII_EMAIL_RE),
+                       ("n_ipv4", PII_IPV4_RE),
+                       ("n_phones", PII_PHONE_RE)]
+    ]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return d.select(
+        *[c for c in d.columns if c != text_col],
+        *counts,
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: plant deterministic PII (email, IP, phone — and a
+    non-PII decoy that must survive) into each document, scrub, and emit
+    counts + redacted text.  Fully DuckDB-oracled."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), i, F.lit("@mail"), i,
+            F.lit(".example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +4930"), i, F.lit("1234567 not-an-ip 999.999 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub_df(planted)

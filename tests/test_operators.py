@@ -947,3 +947,27 @@ class TestNBPersistence:
         assert a == b
         assert {t[0]: t[1] for t in b} == {100: "sport", 101: "tech",
                                            102: "sport"}
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from lightly_ocr_spark.operators.textstats import pii_scrub_df
+
+        rows = [
+            (1, "mail a.b+c@x-y.co.uk and b@q.io here"),
+            (2, "server at 192.168.1.255 and 8.8.8.8 ok"),
+            (3, "call +4915712345678 now"),
+            (4, "no pii, just words and 999.999 and a@b"),  # decoys survive
+            (5, "mixed: x@y.de from 10.0.0.7 dial +491234567890"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"],
+                          r["scrubbed"])
+            for r in pii_scrub_df(d).collect()
+        }
+        assert got[1] == (2, 0, 0, "mail <EMAIL> and <EMAIL> here")
+        assert got[2] == (0, 2, 0, "server at <IP> and <IP> ok")
+        assert got[3] == (0, 0, 1, "call <PHONE> now")
+        assert got[4] == (0, 0, 0, rows[3][1])  # a@b has no TLD, 999.999 not IP
+        assert got[5] == (1, 1, 1, "mixed: <EMAIL> from <IP> dial <PHONE>")
