@@ -1,0 +1,58 @@
+"""JSONL(.gz) ingest: newline-delimited JSON corpora -> pages rows.
+
+Alongside WARC (the crawl-native container) and raw directories, JSONL is
+the third format real training corpora arrive in (RedPajama/Dolma-style
+dumps: one JSON object per line with url/text/meta fields).  Spark's JSON
+source handles gzip transparently and splits uncompressed files by line,
+so ingest parallelism is free; an EXPLICIT schema is mandatory at scale —
+schema inference reads the whole dataset once before the real job starts.
+
+Field mapping is config, not convention: callers name which JSON fields
+hold url/timestamp/html/text, and missing fields become typed nulls so the
+result always matches PAGES_SCHEMA.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+
+def read_jsonl_pages(
+    spark: SparkSession, path: str,
+    url_field: str = "url", ts_field: str = "timestamp",
+    html_field: str = "html", text_field: str = "text",
+    lang_field: str = "lang",
+) -> DataFrame:
+    """JSONL directory/file(s) -> canonical pages(url, warc_ts, html, text,
+    lang).  `html` may arrive as a plain string (JSON has no bytes) — it is
+    utf-8 encoded into the binary column; absent fields are null."""
+    fields = {url_field: T.StringType(), ts_field: T.StringType(),
+              html_field: T.StringType(), text_field: T.StringType(),
+              lang_field: T.StringType()}
+    schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields.items()]
+    )
+    raw = spark.read.schema(schema).json(path)
+
+    def col_or_null(name: str):
+        return F.col(name) if name in raw.columns else F.lit(None)
+
+    return raw.select(
+        col_or_null(url_field).cast("string").alias("url"),
+        col_or_null(ts_field).try_cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce(col_or_null(html_field), F.lit("")), "utf-8")
+        .alias("html"),
+        col_or_null(text_field).cast("string").alias("text"),
+        col_or_null(lang_field).cast("string").alias("lang"),
+    ).filter(F.col("url").isNotNull())
+
+
+def pages_schema_matches(df: DataFrame) -> bool:
+    """True when df's columns line up with PAGES_SCHEMA (names + order)."""
+    return [f.name for f in df.schema.fields] == [
+        f.name for f in PAGES_SCHEMA.fields
+    ]

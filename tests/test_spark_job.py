@@ -278,3 +278,48 @@ class TestCompactJob:
         assert spark.read.parquet(out).count() == 500
         assert not os.path.exists(out + ".inprogress")
         assert not os.path.exists(out + ".replaced")
+
+
+class TestJsonlSource:
+    def test_jsonl_gz_to_pages_and_extraction(self, spark, tmp_path):
+        """JSONL.gz corpus -> pages schema -> the same fused extraction:
+        gzip handled transparently, missing fields typed null, html strings
+        encoded to binary, rows without a url dropped."""
+        import gzip
+        import json as J
+
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+        from lightly_ocr_spark.sources.jsonl import (
+            pages_schema_matches,
+            read_jsonl_pages,
+        )
+
+        d = tmp_path / "jsonl"
+        d.mkdir()
+        rows = [
+            {"url": f"https://j.example/{i}",
+             "timestamp": "2024-03-01T00:00:00Z",
+             "html": f"<html><body><p>jsonl doc {i} carries a dozen "
+                     f"plain words of body text</p></body></html>"}
+            for i in range(30)
+        ]
+        rows.append({"html": "<p>no url: dropped</p>"})
+        rows.append({"url": "https://j.example/nohtml"})
+        blob = "\n".join(J.dumps(r) for r in rows).encode()
+        (d / "part0.jsonl.gz").write_bytes(gzip.compress(blob))
+
+        pages = read_jsonl_pages(spark, str(d))
+        assert pages_schema_matches(pages)
+        got = pages.collect()
+        assert len(got) == 31                     # url-less row dropped
+        assert all(isinstance(r["html"], (bytes, bytearray)) for r in got)
+        by_url = {r["url"]: r for r in got}
+        for i in range(30):  # timestamped rows parse; absent field -> null
+            assert by_url[f"https://j.example/{i}"]["warc_ts"] is not None
+        assert by_url["https://j.example/nohtml"]["warc_ts"] is None
+
+        ext = extract_pages(pages, keep_empty=True)
+        texts = {r["url"]: r["text"] for r in ext.collect()}
+        for i in range(30):
+            assert f"jsonl doc {i} carries" in texts[f"https://j.example/{i}"]
+        assert texts["https://j.example/nohtml"] == ""  # empty html -> empty
