@@ -148,6 +148,10 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         from lightly_ocr_spark.sources.warc import warc_pages
 
         raw_pages = warc_pages(spark, pages_path)
+    elif input_format == "jsonl":
+        from lightly_ocr_spark.sources.jsonl import read_jsonl_pages
+
+        raw_pages = read_jsonl_pages(spark, pages_path)
     else:
         raw_pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
     pages = raw_pages.observe(obs_in, F.count(F.lit(1)).alias("n"))
@@ -286,8 +290,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--host-cap", type=int, default=None,
                     help="keep at most K docs per host (off by default)")
-    ap.add_argument("--format", choices=("pages", "warc"), default="pages",
-                    help="input layout: pages parquet or raw WARC archives")
+    ap.add_argument("--format", choices=("pages", "warc", "jsonl"),
+                    default="pages",
+                    help="input layout: pages parquet, raw WARC archives, "
+                    "or JSONL(.gz) dumps")
     ap.add_argument("--max-rep", type=float, default=None,
                     help="drop docs whose top bigram exceeds this share "
                     "of all bigrams (off by default)")

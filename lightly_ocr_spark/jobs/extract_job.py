@@ -44,8 +44,15 @@ from lightly_ocr_spark.schemas import PAGES_SCHEMA
 MANIFEST_DIR = "_manifests"
 
 
+_FORMAT_GLOBS = {
+    "pages": "*.parquet",
+    "warc": "*.warc*",
+    "jsonl": "*.jsonl*",
+}
+
+
 def _input_files(pages_path: str, input_format: str = "pages") -> list[str]:
-    pattern = "*.parquet" if input_format == "pages" else "*.warc*"
+    pattern = _FORMAT_GLOBS[input_format]
     if os.path.isdir(pages_path):
         files = sorted(glob.glob(os.path.join(pages_path, pattern)))
     else:
@@ -88,10 +95,16 @@ def run_extract(
         # balance there and costs ~21% throughput (BENCH docs_per_sec vs
         # docs_per_sec_salted).  WARC archives are gzip — NOT splittable —
         # so one giant archive would otherwise pin one task; keep the
-        # post-parse rebalancing shuffle for that input.  Downstream
-        # host-keyed ops (curate's host cap / near-dup) re-shuffle on their
-        # own keys regardless, so they never depend on this salt.
-        salt = input_format == "warc"
+        # post-parse rebalancing shuffle for that input.  Same for
+        # gzip-compressed JSONL (plain .jsonl splits by line and stays
+        # narrow).  Downstream host-keyed ops (curate's host cap /
+        # near-dup) re-shuffle on their own keys regardless, so they never
+        # depend on this salt.
+        all_files = [f for sl in slices for f in sl]
+        salt = input_format == "warc" or (
+            input_format == "jsonl"
+            and any(f.endswith(".gz") for f in all_files)
+        )
 
     summary = {"slices": len(slices), "skipped": 0, "run": 0, "rows_out": 0,
                "wall_s": 0.0}
@@ -121,6 +134,10 @@ def run_extract(
             from lightly_ocr_spark.sources.warc import warc_pages
 
             pages = warc_pages(spark, files)
+        elif input_format == "jsonl":
+            from lightly_ocr_spark.sources.jsonl import read_jsonl_pages
+
+            pages = read_jsonl_pages(spark, files)
         else:
             pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
         # skew salting: spread any hot host across all partitions
@@ -241,8 +258,10 @@ def main() -> None:
     ap.add_argument("--no-salt", action="store_true",
                     help="alias for --salt off (back-compat)")
     ap.add_argument("--verify", action="store_true")
-    ap.add_argument("--format", choices=("pages", "warc"), default="pages",
-                    help="input layout: pages parquet or raw WARC archives")
+    ap.add_argument("--format", choices=("pages", "warc", "jsonl"),
+                    default="pages",
+                    help="input layout: pages parquet, raw WARC archives, "
+                    "or JSONL(.gz) dumps")
     args = ap.parse_args()
 
     from lightly_ocr_spark.plans.session import build_session

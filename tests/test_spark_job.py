@@ -323,3 +323,31 @@ class TestJsonlSource:
         for i in range(30):
             assert f"jsonl doc {i} carries" in texts[f"https://j.example/{i}"]
         assert texts["https://j.example/nohtml"] == ""  # empty html -> empty
+
+    def test_extract_job_jsonl_format_e2e(self, spark, tmp_path):
+        """--format jsonl: the sliced/resumable job consumes JSONL.gz
+        directly; gz input auto-salts (non-splittable), manifests commit."""
+        import gzip
+        import json as J
+
+        d = tmp_path / "jl"
+        d.mkdir()
+        for part in range(2):
+            rows = [
+                {"url": f"https://jl.example/{part}/{i}",
+                 "html": f"<p>jsonl job doc {part}-{i} has a dozen words "
+                         f"of plain body text right here</p>"}
+                for i in range(25)
+            ]
+            (d / f"p{part}.jsonl.gz").write_bytes(
+                gzip.compress("\n".join(J.dumps(r) for r in rows).encode())
+            )
+        out = str(tmp_path / "out")
+        s = run_extract(spark, str(d), out, n_slices=2,
+                        input_format="jsonl")
+        assert s["rows_out"] == 50 and s["run"] == 2
+        m = json.load(open(os.path.join(out, "_manifests", "slice-0.json")))
+        assert m["salted"] is True  # gz jsonl auto-salts
+        ext = read_extracted(spark, out)
+        assert ext.count() == 50
+        assert ext.filter(F.col("text").contains("jsonl job doc")).count() == 50
