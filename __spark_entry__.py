@@ -407,24 +407,30 @@ def oracle_sql() -> dict[str, str]:
         # only quotes need doubling; doubling backslashes would corrupt \b/\d
         return pat.replace("'", "''")
 
+    # counts taken on the PROGRESSIVELY scrubbed text (mirrors the engine:
+    # n_X == number of <X> placeholders in `scrubbed`, even when patterns
+    # overlap and an earlier replacement consumes a later pattern's match)
     ql["ta_pii_scrub"] = (
         "WITH planted AS (SELECT doc_id, "
         "'contact user' || doc_id || '@mail' || doc_id || "
         "'.example.com or 10.0.' || (doc_id % 256) || '.7 or +4930' || "
-        "doc_id || '1234567 not-an-ip 999.999 ' || text AS text "
-        "FROM documents) "
+        "doc_id || '1234567 not-an-ip 999.999 ' || text AS t0 "
+        "FROM documents), "
+        "s1 AS (SELECT doc_id, t0, "
+        f"regexp_replace(t0, '{_dq(PII_EMAIL_RE)}', '<EMAIL>', 'g') AS t1 "
+        "FROM planted), "
+        "s2 AS (SELECT doc_id, t0, t1, "
+        f"regexp_replace(t1, '{_dq(PII_IPV4_RE)}', '<IP>', 'g') AS t2 "
+        "FROM s1) "
         "SELECT doc_id, "
-        f"CAST(len(regexp_extract_all(text, '{_dq(PII_EMAIL_RE)}')) AS "
+        f"CAST(len(regexp_extract_all(t0, '{_dq(PII_EMAIL_RE)}')) AS "
         "BIGINT) AS n_emails, "
-        f"CAST(len(regexp_extract_all(text, '{_dq(PII_IPV4_RE)}')) AS "
+        f"CAST(len(regexp_extract_all(t1, '{_dq(PII_IPV4_RE)}')) AS "
         "BIGINT) AS n_ipv4, "
-        f"CAST(len(regexp_extract_all(text, '{_dq(PII_PHONE_RE)}')) AS "
+        f"CAST(len(regexp_extract_all(t2, '{_dq(PII_PHONE_RE)}')) AS "
         "BIGINT) AS n_phones, "
-        "regexp_replace(regexp_replace(regexp_replace(text, "
-        f"'{_dq(PII_EMAIL_RE)}', '<EMAIL>', 'g'), "
-        f"'{_dq(PII_IPV4_RE)}', '<IP>', 'g'), "
-        f"'{_dq(PII_PHONE_RE)}', '<PHONE>', 'g') AS scrubbed "
-        "FROM planted"
+        f"regexp_replace(t2, '{_dq(PII_PHONE_RE)}', '<PHONE>', 'g') "
+        "AS scrubbed FROM s2"
     )
     # ta_chunking: exact integer chunk-count math + deterministic token
     # slicing on both engines (window 64, stride 48)
@@ -432,7 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, "
         "'\\s+'), x -> length(x) > 0) AS ws FROM documents), "
         "nc AS (SELECT doc_id, ws, len(ws) AS n, "
-        "CASE WHEN len(ws) <= 64 THEN 1 "
+        "CASE WHEN len(ws) = 0 THEN 0 WHEN len(ws) <= 64 THEN 1 "
         "ELSE (len(ws) - 64 + 47) // 48 + 1 END AS n_chunks FROM w) "
         "SELECT doc_id, u.chunk_idx, u.chunk, u.n_tokens FROM ("
         "SELECT doc_id, unnest(list_transform(generate_series(0, "

@@ -4,10 +4,14 @@ At 10^12 docs the extraction sink accumulates files from many slices,
 retries, and streaming epochs; small files tax every later scan (driver
 listing, task scheduling, row-group overhead — the classic small-files
 problem).  This job rewrites a dataset to ceil(bytes / target) files and
-commits ATOMICALLY: write to `<out>.inprogress`, verify the row count
+commits crash-safely: write to `<out>.inprogress`, verify the row count
 matches the input via an `Observation` riding the write (never a separate
-re-read), then swap directories — a crash mid-compaction leaves the
-original dataset untouched.
+re-read), then swap directories.  POSIX cannot exchange two directories
+in one atomic step, so the swap is rename(out -> .replaced) +
+rename(.inprogress -> out); a crash inside that window leaves the
+original intact at `<out>.replaced`, and the NEXT run (or `run_compact`
+on the same out dir) restores it before doing anything else — no state
+reachable by crash loses data.
 
 Plan choices:
 
@@ -44,10 +48,23 @@ def _data_files(path: str) -> list[str]:
     ]
 
 
+def recover_interrupted_swap(out_dir: str) -> bool:
+    """If a previous run crashed between the two swap renames (out_dir
+    missing, backup present), restore the original dataset.  Returns True
+    when a restore happened."""
+    backup = out_dir.rstrip("/") + ".replaced"
+    if not os.path.exists(out_dir) and os.path.exists(backup):
+        os.rename(backup, out_dir)
+        return True
+    return False
+
+
 def run_compact(
     spark: SparkSession, in_dir: str, out_dir: str,
     target_bytes: int = DEFAULT_TARGET_BYTES, shuffle: bool = False,
 ) -> dict:
+    recover_interrupted_swap(in_dir)
+    recover_interrupted_swap(out_dir)
     files = _data_files(in_dir)
     if not files:
         raise ValueError(f"no parquet data files under {in_dir}")

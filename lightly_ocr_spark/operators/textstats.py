@@ -285,11 +285,13 @@ def chunk_docs(
     window), so long documents become training-sized rows and context is
     never cut mid-window without an overlapping neighbor.
 
-    Chunk count is exact integer math (1 when n_tokens <= window, else
-    (n - window + stride - 1) // stride + 1), all chunk text built
-    JVM-side (transform + slice + concat_ws, one explode — no Python).
-    Output: (id, chunk_idx, chunk, n_tokens); the final chunk may be
-    short, every earlier chunk is exactly `window` tokens."""
+    Chunk count is exact integer math (0 when the doc has no tokens, 1
+    when 0 < n_tokens <= window, else (n - window + stride - 1) // stride
+    + 1), all chunk text built JVM-side (transform + slice + concat_ws,
+    one explode — no Python).  Output: (id, chunk_idx, chunk, n_tokens);
+    the final chunk may be short, every earlier chunk is exactly `window`
+    tokens.  Empty/whitespace-only and null documents contribute NO rows
+    (a zero-token empty-string training example is never emitted)."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
     w = F.filter(F.split(F.col(text_col), r"\s+"),
@@ -298,7 +300,7 @@ def chunk_docs(
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
         F.floor((n - window + stride - 1) / stride).cast("int") + 1
     )
-    chunks = F.transform(
+    chunks = F.when(n > 0, F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.cast("int").alias("chunk_idx"),
@@ -307,7 +309,9 @@ def chunk_docs(
             F.least(F.lit(window), n - i * stride).cast("int")
             .alias("n_tokens"),
         ),
-    )
+    )).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,chunk:string,n_tokens:int>>"
+    ))
     return d.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk", "c.n_tokens"
     )
@@ -334,24 +338,32 @@ def pii_scrub_df(d: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4s / international phone numbers and count each
     (the standard pre-training privacy pass).  Pure JVM regexp chains —
     codegen'd, no Python; counts via regexp_extract_all so the DuckDB
-    oracle is the literal same expression."""
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(n)
-        for n, pat in [("n_emails", PII_EMAIL_RE),
-                       ("n_ipv4", PII_IPV4_RE),
-                       ("n_phones", PII_PHONE_RE)]
-    ]
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE, "<IP>",
-        ),
-        PII_PHONE_RE, "<PHONE>",
-    )
+    oracle is the literal same expression.
+
+    Counts are taken on the PROGRESSIVELY scrubbed text, in replacement
+    order (email, then IPv4, then phone): when patterns overlap — a phone
+    number inside an email's local part — the earlier replacement consumes
+    the token, and counting on the original would report a phone
+    'redacted' whose placeholder appears nowhere.  Invariant: n_X equals
+    the number of <X> placeholders in `scrubbed`."""
+    t0 = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0)
+    ).cast("long")
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.size(
+        F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0)
+    ).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(
+        F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0)
+    ).cast("long")
+    scrubbed = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
     return d.select(
         *[c for c in d.columns if c != text_col],
-        *counts,
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
 

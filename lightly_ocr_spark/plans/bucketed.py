@@ -39,6 +39,22 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
+    """(num_buckets, bucket_columns) from the catalog; (0, []) if the
+    table is not bucketed."""
+    n, cols = 0, []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        name = (r["col_name"] or "").strip()
+        if name == "Num Buckets":
+            n = int(r["data_type"])
+        elif name == "Bucket Columns":
+            cols = [
+                c.strip(" `") for c in
+                r["data_type"].strip("[]").split(",") if c.strip()
+            ]
+    return n, cols
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key: str,
 ) -> DataFrame:
@@ -46,10 +62,41 @@ def bucketed_join(
 
     With matching bucket specs this plans as a sort-merge join with NO
     Exchange on either side (asserted by plan-shape test) — the join cost
-    is a per-bucket merge, independent of cluster-wide shuffle capacity."""
+    is a per-bucket merge, independent of cluster-wide shuffle capacity.
+    Mismatched bucket counts/keys make Spark silently shuffle the
+    mismatched side, defeating the whole point — so the specs are checked
+    against the catalog and a mismatch RAISES instead."""
+    ln, lcols = _bucket_spec(spark, left_table)
+    rn, rcols = _bucket_spec(spark, right_table)
+    problems = []
+    if ln == 0 or rn == 0:
+        problems.append(
+            f"not bucketed: {left_table if ln == 0 else ''} "
+            f"{right_table if rn == 0 else ''}".strip()
+        )
+    elif ln != rn:
+        problems.append(f"bucket counts differ ({ln} vs {rn})")
+    if lcols != [key] or rcols != [key]:
+        problems.append(
+            f"bucket columns {lcols} / {rcols} != join key [{key!r}]"
+        )
+    if problems:
+        raise ValueError(
+            "bucketed_join would silently shuffle: " + "; ".join(problems)
+            + " — rewrite the table(s) with matching bucketBy specs"
+        )
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, key)
+
+
+def salt_expr(key: str, salt: int) -> F.Column:
+    """The salt-bucket assignment used by `salted_join`, exposed so tests
+    exercise the REAL expression (a hand-copied duplicate in a test keeps
+    passing while the operator regresses)."""
+    return F.pmod(
+        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)
+    ).cast("int")
 
 
 def salted_join(
@@ -68,12 +115,14 @@ def salted_join(
     Cost: right side inflates x`salt` (use only when right is the
     medium-but-too-big-to-broadcast side); hot-key rows spread over `salt`
     tasks instead of one.  Results equal the plain join exactly (tested),
-    output columns = left's + right's non-key columns."""
-    salt_col = F.pmod(
-        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)
-    ).cast("int")
-    lt = left.withColumn("_salt", salt_col)
+    output columns = left's + right's non-key columns.  The internal salt
+    column name is chosen to avoid any existing column (silently
+    clobbering a caller's '_salt' would change the output)."""
+    sc = "_salt"
+    while sc in left.columns or sc in right.columns:
+        sc += "_"
+    lt = left.withColumn(sc, salt_expr(key, salt))
     rt = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return lt.join(rt, [key, "_salt"]).drop("_salt")
+    return lt.join(rt, [key, sc]).drop(sc)

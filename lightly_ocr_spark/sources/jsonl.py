@@ -29,7 +29,9 @@ def read_jsonl_pages(
 ) -> DataFrame:
     """JSONL directory/file(s) -> canonical pages(url, warc_ts, html, text,
     lang).  `html` may arrive as a plain string (JSON has no bytes) — it is
-    utf-8 encoded into the binary column; absent fields are null."""
+    utf-8 encoded into the binary column.  A field absent from a JSON
+    object reads as null (the JSON source's missing-key semantics against
+    the explicit nullable schema)."""
     fields = {url_field: T.StringType(), ts_field: T.StringType(),
               html_field: T.StringType(), text_field: T.StringType(),
               lang_field: T.StringType()}
@@ -37,17 +39,13 @@ def read_jsonl_pages(
         [T.StructField(n, t, True) for n, t in fields.items()]
     )
     raw = spark.read.schema(schema).json(path)
-
-    def col_or_null(name: str):
-        return F.col(name) if name in raw.columns else F.lit(None)
-
     return raw.select(
-        col_or_null(url_field).cast("string").alias("url"),
-        col_or_null(ts_field).try_cast("timestamp").alias("warc_ts"),
-        F.encode(F.coalesce(col_or_null(html_field), F.lit("")), "utf-8")
+        F.col(url_field).cast("string").alias("url"),
+        F.col(ts_field).try_cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce(F.col(html_field), F.lit("")), "utf-8")
         .alias("html"),
-        col_or_null(text_field).cast("string").alias("text"),
-        col_or_null(lang_field).cast("string").alias("lang"),
+        F.col(text_field).cast("string").alias("text"),
+        F.col(lang_field).cast("string").alias("lang"),
     ).filter(F.col("url").isNotNull())
 
 

@@ -971,3 +971,40 @@ class TestPiiScrub:
         assert got[3] == (0, 0, 1, "call <PHONE> now")
         assert got[4] == (0, 0, 0, rows[3][1])  # a@b has no TLD, 999.999 not IP
         assert got[5] == (1, 1, 1, "mixed: <EMAIL> from <IP> dial <PHONE>")
+
+
+class TestChunkingEdgeDocs:
+    def test_empty_whitespace_null_docs_emit_no_chunks(self, spark):
+        from lightly_ocr_spark.operators.textstats import chunk_docs
+
+        d = spark.createDataFrame(
+            [(1, "real words here"), (2, ""), (3, "   \t  "), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = chunk_docs(d, window=8, stride=8).collect()
+        assert {r["doc_id"] for r in rows} == {1}
+        assert all(r["n_tokens"] > 0 for r in rows)
+
+
+class TestPiiOverlap:
+    def test_counts_match_placeholders_when_patterns_overlap(self, spark):
+        """A phone number inside an email's local part: the email
+        replacement consumes it, so n_phones must be 0 — counts always
+        equal the placeholders present in `scrubbed`."""
+        from lightly_ocr_spark.operators.textstats import pii_scrub_df
+
+        d = spark.createDataFrame(
+            [(1, "reach me at +4915712345678@relay.example.com"),
+             (2, "ip-ish mail 10.0.0.7@x.example.org stays one email")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"],
+                          r["scrubbed"])
+            for r in pii_scrub_df(d).collect()
+        }
+        assert got[1] == (1, 0, 0, "reach me at <EMAIL>")
+        assert got[2] == (1, 0, 0, "ip-ish mail <EMAIL> stays one email")
+        for n_e, n_i, n_p, s in got.values():
+            assert (s.count("<EMAIL>"), s.count("<IP>"),
+                    s.count("<PHONE>")) == (n_e, n_i, n_p)

@@ -129,19 +129,23 @@ class TestPlanShape:
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, want.collect()))
 
-        # the hot key's left rows really fan out over >1 salt bucket
-        from lightly_ocr_spark.plans.bucketed import salted_join as _sj  # noqa
-        lt = left.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("host"),
-                              F.monotonically_increasing_id()),
-                   F.lit(8)).cast("int"),
-        )
+        # the hot key's left rows really fan out over >1 salt bucket —
+        # measured through the operator's OWN expression, not a copy
+        from lightly_ocr_spark.plans.bucketed import salt_expr
+
         n_buckets = (
-            lt.filter(F.col("host") == "hot.example")
-            .select("_salt").distinct().count()
+            left.withColumn("s", salt_expr("host", 8))
+            .filter(F.col("host") == "hot.example")
+            .select("s").distinct().count()
         )
         assert n_buckets >= 6, n_buckets
+
+        # a caller-owned '_salt' column must survive untouched
+        left2 = left.withColumn("_salt", F.lit(42))
+        got2 = salted_join(left2, right, "host", salt=4)
+        assert "_salt" in got2.columns
+        assert got2.filter(F.col("_salt") != 42).count() == 0
+        assert got2.count() == want.count()
 
     def test_ivf_indexed_probe_is_partition_pruned(self, spark, tmp_path):
         """The persisted IVF index is partitioned by cell, so a probe must

@@ -351,3 +351,25 @@ class TestJsonlSource:
         ext = read_extracted(spark, out)
         assert ext.count() == 50
         assert ext.filter(F.col("text").contains("jsonl job doc")).count() == 50
+
+    def test_compact_recovers_interrupted_swap(self, spark, tmp_path):
+        """Crash between the two swap renames leaves out_dir missing and
+        the original at .replaced; the next run must restore it first."""
+        from lightly_ocr_spark.jobs.compact_job import (
+            recover_interrupted_swap,
+            run_compact,
+        )
+
+        src = str(tmp_path / "src2")
+        spark.range(300).write.parquet(src)
+        out = str(tmp_path / "dst2")
+        run_compact(spark, src, out)
+        # simulate the crash window: out renamed away, new dir never moved in
+        os.rename(out, out + ".replaced")
+        assert not os.path.exists(out)
+        assert recover_interrupted_swap(out)
+        assert spark.read.parquet(out).count() == 300
+        # run_compact itself also recovers before reading
+        os.rename(out, out + ".replaced")
+        m = run_compact(spark, src, out)
+        assert m["rows"] == 300 and spark.read.parquet(out).count() == 300
