@@ -54,13 +54,20 @@ def near_dup_drops(
     exactly one survivor per cluster.  Banding math is the shared
     `band_candidate_pairs` — one implementation for the dd_minhash query
     and this pipeline."""
+    from pyspark import StorageLevel
+
     from lightly_ocr_spark.operators.dedup import band_candidate_pairs
 
     sig = minhash_signatures(
         texts.select(F.col("url").alias("doc_id"), "text"),
         k=MINHASH_K,
         ngram=3,  # order-sensitive shingles: shared vocabulary != near-dup
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    # persist is load-bearing: the signature pipeline (24M-shingle explode
+    # x k hashes at 200k docs — measured 125s) feeds THREE consumers
+    # (banding, and both sides of the agreement verification join); without
+    # it the verified-pairs plan and the components checkpoint each re-run
+    # the whole subtree (measured: near-dedup leg 550s -> ~150s at 200k)
     cand = band_candidate_pairs(sig, MINHASH_K, BANDS).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
@@ -83,6 +90,9 @@ def near_dup_drops(
     # nodes default = edge endpoints; checkpoint_dir makes the iterative
     # rounds durably checkpointed (cluster jobs), else localCheckpoint
     comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    # comp is materialized (checkpointed) by connected_components, so the
+    # signature cache has served all its consumers — release the disk
+    sig.unpersist()
     return (
         comp.filter(F.col("id") != F.col("component"))
         .select(F.col("id").alias("url"))
@@ -224,25 +234,19 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         .filter(F.col("n_tokens") >= MIN_TOKENS)
     ).persist(StorageLevel.DISK_ONLY)
     to_unpersist = [gated]
+    # langid + fluency + top-bigram repetition, ONE Arrow crossing: the
+    # repetition fraction is ~free inside the enrichment pass (Counter per
+    # doc), vs ~110 s per 200 k docs as its own JVM pass — same
+    # tokenization contract as textstats.repetition_signals_df
+    enriched = enrich_pages(gated)
+    curated = gated.join(enriched, "url", "left")
     if max_rep is not None:
         # Gopher-style repetition gate: drop docs whose single hottest
         # word-bigram takes more than `max_rep` of all bigrams (boilerplate
-        # and keyword-stuffing spam); one extra doc-keyed shuffle, opt-in
-        from lightly_ocr_spark.operators.textstats import (
-            repetition_signals_df,
+        # and keyword-stuffing spam); opt-in
+        curated = curated.filter(
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_rep
         )
-
-        rep = repetition_signals_df(
-            gated.select(F.col("url"), "text"), id_col="url"
-        ).select("url", "top_bigram_frac")
-        gated = (
-            gated.join(rep, "url")
-            .filter(F.col("top_bigram_frac") <= max_rep)
-            .drop("top_bigram_frac")
-        ).persist(StorageLevel.DISK_ONLY)
-        to_unpersist.append(gated)
-    enriched = enrich_pages(gated)  # langid + fluency, one Arrow crossing
-    curated = gated.join(enriched, "url", "left")
     obs_media = None
     if media_path is not None:
         obs_media = Observation("curate-media")

@@ -15,7 +15,24 @@ from pyspark.sql import DataFrame
 from lightly_ocr_spark.operators.fluency import bigram_logp
 from lightly_ocr_spark.operators.langid import detect_lang
 
-ENRICH_SCHEMA = "url string, lang_pred string, bigram_logp double"
+ENRICH_SCHEMA = ("url string, lang_pred string, bigram_logp double, "
+                 "top_bigram_frac double")
+
+
+def _top_bigram_frac(text: str) -> float:
+    """Share of the hottest word-bigram among all bigrams — SAME
+    tokenization contract as `textstats.repetition_signals_df` (lowercase
+    whitespace split, adjacent pairs), so the --max-rep gate means the
+    same thing whichever stage computes it.  Counted here because it is
+    ~free inside the Arrow crossing the pipeline already pays, while the
+    JVM sorted-run fold costs ~110 s per 200 k docs as its own pass."""
+    words = text.lower().split()
+    if len(words) < 2:
+        return 0.0
+    from collections import Counter
+
+    counts = Counter(zip(words, words[1:]))
+    return round(max(counts.values()) / (len(words) - 1), 6)
 
 
 def _enrich_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -26,12 +43,15 @@ def _enrich_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "url": pdf["url"].to_numpy(),
                 "lang_pred": texts.map(detect_lang),
                 "bigram_logp": texts.map(bigram_logp).astype("float64"),
+                "top_bigram_frac": texts.map(_top_bigram_frac)
+                .astype("float64"),
             }
         )
 
 
 def enrich_pages(extracted: DataFrame) -> DataFrame:
-    """(url, text, ...) -> (url, lang_pred, bigram_logp), one Python stage."""
+    """(url, text, ...) -> (url, lang_pred, bigram_logp, top_bigram_frac),
+    one Python stage."""
     return extracted.select("url", "text").mapInPandas(
         _enrich_partition, schema=ENRICH_SCHEMA
     )

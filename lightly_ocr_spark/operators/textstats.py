@@ -238,40 +238,59 @@ def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Core of `repetition_signals` over an arbitrary (id, text) frame —
     also the gate the curation job applies with --max-rep.  Shingles come
     from the shared `word_ngrams` helper (one slice-bounds implementation
-    across decontamination/components/repetition)."""
+    across decontamination/components/repetition).
+
+    The top-bigram count is a PER-ROW expression: sort the row's bigram
+    array and take the longest equal-run (identical to the count of the
+    most frequent bigram) with one `aggregate` fold — O(w log w) per doc,
+    zero shuffle, zero join.  The previous explode -> groupBy(id, bigram)
+    -> max plan shuffled ~24M (url, bigram) STRING keys at 200k docs and
+    measured 261s; this form is a narrow projection (~2s).  (The other
+    naive in-array form — per-distinct-bigram counts via transform+filter
+    — is O(w^2) per doc and slower than either; measured round 2.)"""
     from lightly_ocr_spark.operators.dedup import lower_words, word_ngrams
 
     words = lower_words()
     n_words = F.size(words)
-    base = d.select(
+
+    def _run_step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_bigram_n = F.aggregate(
+        F.array_sort(F.col("bigrams")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    return d.select(
         id_col,
         n_words.cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long")
         .alias("n_distinct_words"),
         word_ngrams(words, 2).alias("bigrams"),
-    )
-    tops = (
-        base.select(id_col, F.explode("bigrams").alias("bg"))
-        .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
-        .groupBy(id_col).agg(F.max("n").alias("top_bigram_n"))
-    )
-    return (
-        base.join(tops, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            "n_distinct_words",
-            F.round(
-                F.col("n_distinct_words") / F.greatest("n_words", F.lit(1)), 6
-            ).alias("distinct_frac"),
-            F.coalesce("top_bigram_n", F.lit(0)).cast("long")
-            .alias("top_bigram_n"),
-            F.round(
-                F.coalesce("top_bigram_n", F.lit(0))
-                / F.greatest(F.size("bigrams"), F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+    ).select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(
+            F.col("n_distinct_words") / F.greatest("n_words", F.lit(1)), 6
+        ).alias("distinct_frac"),
+        top_bigram_n.alias("top_bigram_n"),
+        F.round(
+            top_bigram_n / F.greatest(F.size("bigrams"), F.lit(1)), 6
+        ).alias("top_bigram_frac"),
     )
 
 

@@ -1008,3 +1008,33 @@ class TestPiiOverlap:
         for n_e, n_i, n_p, s in got.values():
             assert (s.count("<EMAIL>"), s.count("<IP>"),
                     s.count("<PHONE>")) == (n_e, n_i, n_p)
+
+
+class TestRepetitionParity:
+    def test_enrich_fraction_equals_jvm_operator(self, spark):
+        """The Arrow-side top_bigram_frac (computed inside the enrichment
+        crossing for the curate gate) must equal the JVM operator's value
+        for every doc — same tokenization contract, same rounding."""
+        from lightly_ocr_spark.operators.enrich import _top_bigram_frac
+        from lightly_ocr_spark.operators.textstats import (
+            repetition_signals_df,
+        )
+
+        texts = [
+            "buy now buy now buy now buy now buy now",
+            "a normal sentence with every word used once",
+            "single",
+            "",
+            "Tab\tand\nnewline   runs collapse THE the THE the",
+            "word " * 50,
+        ]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        jvm = {
+            r["doc_id"]: r["top_bigram_frac"]
+            for r in repetition_signals_df(d).collect()
+        }
+        for i, t in enumerate(texts):
+            assert _top_bigram_frac(t) == jvm[i], (i, t)
