@@ -300,3 +300,37 @@ class TestStreamStreamJoin:
         users = [g[0] for g in got]
         assert users == [1, 1, 3]          # u2 outside gap, u9 unmatched
         assert [g[3] for g in got] == [180, 120, 600]  # lags in seconds
+
+
+class TestWarcStream:
+    def test_streamed_archives_match_batch_ingest(self, spark, tmp_path):
+        """binaryFile readStream over a WARC directory: incremental
+        archive-by-archive extraction must equal the batch warc_pages ->
+        extract path exactly, with no duplicates across triggers."""
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+        from lightly_ocr_spark.sources.warc import make_warc, warc_pages
+        from lightly_ocr_spark.streaming.warc_stream import (
+            extract_warc_stream,
+        )
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        for part in range(3):
+            recs = [
+                (f"https://ws.example/{part}/{i}",
+                 f"<html><body><p>streamed warc doc {part}-{i} carries a "
+                 f"dozen words of body text</p></body></html>".encode())
+                for i in range(10)
+            ]
+            (d / f"crawl-{part}.warc.gz").write_bytes(
+                make_warc(recs, gzip_members=True)
+            )
+
+        got = extract_warc_stream(spark, str(d), max_files_per_trigger=1)
+        want = extract_pages(warc_pages(spark, str(d))).select(
+            "url", "text", "extract_sha256"
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w and len(g) == 30
+        assert got.groupBy("url").count().filter("count > 1").count() == 0
