@@ -226,9 +226,10 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     # the token filter drops, and persisting the gated frame means the
     # anti-join/host-cap plan runs once, not once per join branch
     tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    # persist BEFORE any branch reads it twice: both the repetition gate's
-    # self-join and the enrichment join would otherwise recompute the
-    # anti-join/host-cap subtree (near-dup MinHash included) per branch
+    # persist is load-bearing: gated feeds BOTH sides of the final join
+    # (the enrichment Arrow stage reads it, and the join's other side is
+    # gated itself) — unpersisted, each side would recompute the
+    # anti-join/host-cap subtree (near-dup MinHash included)
     gated = (
         deduped.withColumn("n_tokens", tokens.cast("long"))
         .filter(F.col("n_tokens") >= MIN_TOKENS)

@@ -100,11 +100,9 @@ def run_extract(
         # narrow).  Downstream host-keyed ops (curate's host cap /
         # near-dup) re-shuffle on their own keys regardless, so they never
         # depend on this salt.
-        all_files = [f for sl in slices for f in sl]
-        salt = input_format == "warc" or (
-            input_format == "jsonl"
-            and any(f.endswith(".gz") for f in all_files)
-        )
+        salt = "auto"  # resolved PER SLICE in run_slice: a slice of plain
+        # splittable .jsonl files stays narrow even when another slice in
+        # the same run carries .gz archives
 
     summary = {"slices": len(slices), "skipped": 0, "run": 0, "rows_out": 0,
                "wall_s": 0.0}
@@ -143,10 +141,21 @@ def run_extract(
         # skew salting: spread any hot host across all partitions
         # (north_rule).  Extraction itself is row-local (input splits are
         # byte-uniform), so --no-salt skips the shuffle when no downstream
-        # op keys by host/url.
+        # op keys by host/url.  "auto" resolves against THIS slice's
+        # files: WARC always salts (gzip, unsplittable), jsonl only when
+        # the slice actually contains .gz members — a slice of plain
+        # splittable files never pays the ~21% shuffle tax for a .gz that
+        # lives in some other slice.
+        if salt == "auto":
+            slice_salt = input_format == "warc" or (
+                input_format == "jsonl"
+                and any(f.endswith(".gz") for f in files)
+            )
+        else:
+            slice_salt = bool(salt)
         salted = (
             pages.repartition(salt_partitions, F.xxhash64("url"))
-            if salt else pages
+            if slice_salt else pages
         )
         obs = Observation(f"slice-{k}-{int(t_job)}")
         extracted = extract_pages(salted).observe(
@@ -166,7 +175,7 @@ def run_extract(
             "text_chars": int(m["text_chars"] or 0),
             "empty_docs": int(m["empty_docs"] or 0),
             "checksum": int(m["checksum"] or 0),
-            "salted": bool(salt),
+            "salted": slice_salt,
             "salt_partitions": salt_partitions,
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

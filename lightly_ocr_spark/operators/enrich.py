@@ -30,9 +30,15 @@ def _top_bigram_frac(text: str) -> float:
     if len(words) < 2:
         return 0.0
     from collections import Counter
+    import math
 
     counts = Counter(zip(words, words[1:]))
-    return round(max(counts.values()) / (len(words) - 1), 6)
+    frac = max(counts.values()) / (len(words) - 1)
+    # HALF_UP at 6dp, matching Spark/DuckDB round(): Python's built-in
+    # round() is banker's and disagrees on exact ties (1/128 -> 0.007812
+    # vs 0.007813), which would let the --max-rep gate diverge from the
+    # JVM operator at the threshold
+    return math.floor(frac * 1e6 + 0.5) / 1e6
 
 
 def _enrich_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

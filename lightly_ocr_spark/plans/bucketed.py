@@ -76,7 +76,10 @@ def bucketed_join(
         )
     elif ln != rn:
         problems.append(f"bucket counts differ ({ln} vs {rn})")
-    if lcols != [key] or rcols != [key]:
+    # Spark resolves identifiers case-insensitively — compare likewise, or
+    # a table bucketed on 'Host' joined on 'host' would falsely raise
+    if ([c.lower() for c in lcols] != [key.lower()]
+            or [c.lower() for c in rcols] != [key.lower()]):
         problems.append(
             f"bucket columns {lcols} / {rcols} != join key [{key!r}]"
         )

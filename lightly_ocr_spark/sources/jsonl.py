@@ -31,7 +31,14 @@ def read_jsonl_pages(
     lang).  `html` may arrive as a plain string (JSON has no bytes) — it is
     utf-8 encoded into the binary column.  A field absent from a JSON
     object reads as null (the JSON source's missing-key semantics against
-    the explicit nullable schema)."""
+    the explicit nullable schema).
+
+    TEXT-ONLY corpora (the common RedPajama/Dolma shape: url + text, no
+    html) flow through extraction rather than vanishing: when `html` is
+    null the text field is used as the page body — the extractor treats
+    plain text as one dense block and whitespace-canonicalizes it, so
+    text-only rows survive `keep_empty=False` instead of every row
+    extracting to '' from an empty html column."""
     fields = {url_field: T.StringType(), ts_field: T.StringType(),
               html_field: T.StringType(), text_field: T.StringType(),
               lang_field: T.StringType()}
@@ -42,8 +49,10 @@ def read_jsonl_pages(
     return raw.select(
         F.col(url_field).cast("string").alias("url"),
         F.col(ts_field).try_cast("timestamp").alias("warc_ts"),
-        F.encode(F.coalesce(F.col(html_field), F.lit("")), "utf-8")
-        .alias("html"),
+        F.encode(
+            F.coalesce(F.col(html_field), F.col(text_field), F.lit("")),
+            "utf-8",
+        ).alias("html"),
         F.col(text_field).cast("string").alias("text"),
         F.col(lang_field).cast("string").alias("lang"),
     ).filter(F.col("url").isNotNull())

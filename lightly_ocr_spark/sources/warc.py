@@ -186,13 +186,15 @@ def _explode_partition(
                 )
 
 
-def warc_pages(spark, warc_path: str | list[str]):
-    """WARC directory (or explicit file list) -> pages(url, warc_ts, html),
-    extraction-ready."""
+def explode_archives(files_df) -> "object":
+    """(.., content binary) frame -> pages(url, warc_ts, html).
+
+    The ONE parse+projection shared by the batch front door (`warc_pages`)
+    and the streaming one (`streaming/warc_stream.py`) — the timestamp
+    contract and output schema cannot drift between them."""
     from pyspark.sql import functions as F
 
-    files = spark.read.format("binaryFile").load(warc_path)
-    raw = files.select("content").mapInPandas(
+    raw = files_df.select("content").mapInPandas(
         _explode_partition,
         schema="url string, warc_date string, html binary",
     )
@@ -204,6 +206,12 @@ def warc_pages(spark, warc_path: str | list[str]):
         F.col("warc_date").try_cast("timestamp").alias("warc_ts"),
         "html",
     )
+
+
+def warc_pages(spark, warc_path: str | list[str]):
+    """WARC directory (or explicit file list) -> pages(url, warc_ts, html),
+    extraction-ready."""
+    return explode_archives(spark.read.format("binaryFile").load(warc_path))
 
 
 # --- deterministic synthesizer (tests; same philosophy as pdf.make_pdf) ---

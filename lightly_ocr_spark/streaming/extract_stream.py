@@ -42,7 +42,10 @@ def extract_stream(
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = spark.table(name).collect()
+    try:
+        rows = spark.table(name).collect()
+    finally:
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(
         rows, schema="url string, text string, extract_sha256 string"
     )

@@ -35,5 +35,8 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     # materialize before the memory sink is dropped
-    rows = spark.table(name).collect()
+    try:
+        rows = spark.table(name).collect()
+    finally:
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema="event_type string, n long")

@@ -80,5 +80,8 @@ def streaming_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = spark.table(name).collect()
+    try:
+        rows = spark.table(name).collect()
+    finally:
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema=OUT_SCHEMA)

@@ -79,4 +79,10 @@ def run_attribution_stream(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    try:
+        result = spark.table(name)
+        schema = result.schema
+        rows = result.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema)

@@ -16,17 +16,17 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from lightly_ocr_spark.operators.extract_udf import extract_pages
-from lightly_ocr_spark.sources.warc import _explode_partition
+from lightly_ocr_spark.sources.warc import explode_archives
 
 
 def warc_pages_stream(
     spark: SparkSession, warc_dir: str, max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Streaming analog of `sources.warc.warc_pages`: a binaryFile stream
-    over the archive directory, exploded to pages rows per trigger."""
+    over the archive directory, exploded to pages rows per trigger via the
+    SAME shared `explode_archives` projection as the batch path."""
     # streaming sources require an explicit schema; binaryFile's is fixed
     files = (
         spark.readStream.format("binaryFile")
@@ -36,22 +36,20 @@ def warc_pages_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(warc_dir)
     )
-    raw = files.select("content").mapInPandas(
-        _explode_partition,
-        schema="url string, warc_date string, html binary",
-    )
-    return raw.select(
-        "url",
-        F.col("warc_date").try_cast("timestamp").alias("warc_ts"),
-        "html",
-    )
+    return explode_archives(files)
 
 
 def extract_warc_stream(
     spark: SparkSession, warc_dir: str, max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Run archives -> pages -> extraction as one stream to completion;
-    returns the materialized (url, text, extract_sha256) rows."""
+    returns the materialized (url, text, extract_sha256) rows.
+
+    DEMO/TEST harness: the memory sink + collect hold the whole result on
+    the driver (the temp view is dropped before returning, so nothing
+    outlives the call).  A production stream pairs `warc_pages_stream`
+    with `extract_stream_job`'s exactly-once foreachBatch sink instead —
+    never a driver-side materialization."""
     pages = warc_pages_stream(spark, warc_dir, max_files_per_trigger)
     extracted = extract_pages(pages).select(
         "url", "text", "extract_sha256"
@@ -67,7 +65,10 @@ def extract_warc_stream(
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = spark.table(name).collect()
+    try:
+        rows = spark.table(name).collect()
+    finally:
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(
         rows, schema="url string, text string, extract_sha256 string"
     )

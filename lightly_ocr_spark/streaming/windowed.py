@@ -56,4 +56,10 @@ def windowed_event_counts(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    try:
+        result = spark.table(name)
+        schema = result.schema
+        rows = result.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema)

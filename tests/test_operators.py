@@ -1027,6 +1027,10 @@ class TestRepetitionParity:
             "",
             "Tab\tand\nnewline   runs collapse THE the THE the",
             "word " * 50,
+            # 129 distinct words -> frac exactly 1/128 = 0.0078125: a
+            # HALF_UP rounding tie where Python's banker's round() would
+            # give 0.007812 but Spark/DuckDB give 0.007813
+            " ".join(f"u{i}" for i in range(129)),
         ]
         d = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)],

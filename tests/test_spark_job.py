@@ -373,3 +373,59 @@ class TestJsonlSource:
         os.rename(out, out + ".replaced")
         m = run_compact(spark, src, out)
         assert m["rows"] == 300 and spark.read.parquet(out).count() == 300
+
+    def test_jsonl_text_only_corpus_flows_through(self, spark, tmp_path):
+        """RedPajama/Dolma shape — url + text, NO html: rows must survive
+        extraction (text used as the page body, whitespace-canonicalized)
+        instead of every row extracting to '' from an empty html column."""
+        import json as J
+
+        from lightly_ocr_spark.operators.extract_udf import extract_pages
+        from lightly_ocr_spark.sources.jsonl import read_jsonl_pages
+
+        d = tmp_path / "textonly"
+        d.mkdir()
+        rows = [
+            {"url": f"https://t.example/{i}",
+             "text": f"plain   text doc {i} carrying a full dozen words "
+                     f"of real body  content so the density filters keep "
+                     f"it\n\nwith messy    whitespace"}
+            for i in range(10)
+        ]
+        (d / "p.jsonl").write_text("\n".join(J.dumps(r) for r in rows))
+        pages = read_jsonl_pages(spark, str(d))
+        ext = extract_pages(pages, keep_empty=False)
+        got = {r["url"]: r["text"] for r in ext.collect()}
+        assert len(got) == 10
+        for i in range(10):
+            t = got[f"https://t.example/{i}"]
+            assert f"plain text doc {i}" in t  # canonicalized, non-empty
+
+    def test_jsonl_per_slice_salt_decision(self, spark, tmp_path):
+        """Mixed jsonl input: the slice holding only plain .jsonl stays
+        narrow while the slice with a .gz member salts."""
+        import gzip
+        import json as J
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        rows = [{"url": f"https://m.example/{i}",
+                 "html": f"<p>mixed dir doc {i} has a dozen words of body "
+                         f"text right here</p>"} for i in range(20)]
+        blob = "\n".join(J.dumps(r) for r in rows[:10])
+        # slice 0 gets a.jsonl (plain), slice 1 gets b.jsonl.gz
+        (d / "a.jsonl").write_text(blob)
+        (d / "b.jsonl.gz").write_bytes(gzip.compress(
+            "\n".join(J.dumps(r) for r in rows[10:]).encode()))
+        out = str(tmp_path / "mixed_out")
+        s = run_extract(spark, str(d), out, n_slices=2,
+                        input_format="jsonl")
+        assert s["rows_out"] == 20
+        salted = {
+            json.load(open(os.path.join(out, "_manifests", f"slice-{k}.json")))
+            ["input_files"][0].endswith(".gz"):
+            json.load(open(os.path.join(out, "_manifests", f"slice-{k}.json")))
+            ["salted"]
+            for k in (0, 1)
+        }
+        assert salted == {False: False, True: True}
