@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lightly_ocr_spark.plans.relational import load
@@ -537,3 +537,65 @@ def line_dedup(spark: SparkSession, sf: str, min_docs: int = 5) -> DataFrame:
         ).alias("text"),
     )
     return line_dedup_docs(lined, min_docs=min_docs).orderBy("doc_id")
+
+
+def write_fingerprint_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id",
+    text_col: str = "text", mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus content-fingerprint index: one row per doc,
+    (fp = sha256(text), id), partitioned by the fingerprint's first hex
+    byte (256 near-uniform partitions).  The continuous-crawl primitive:
+    dedup of batch N+1 never rescans the corpus — it joins this index.
+    `mode='append'` is how a batch commits its own novel fingerprints."""
+    docs.select(
+        F.sha2(F.col(text_col), 256).alias("fp"),
+        F.col(id_col).alias("first_id"),
+    ).withColumn("fp_prefix", F.substring("fp", 1, 2)).write.mode(
+        mode
+    ).partitionBy("fp_prefix").parquet(path)
+
+
+def incremental_exact_dedup(
+    spark: SparkSession, new_batch: DataFrame, index_path: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    commit: bool = True,
+) -> DataFrame:
+    """Dedup a NEW crawl batch against the persisted corpus index, then
+    (commit=True) append the survivors' fingerprints so the next batch
+    sees them.
+
+    Three steps, none touching corpus text: (1) intra-batch exact dedup
+    (keeper = min id per fingerprint); (2) anti-join the batch's
+    fingerprints against the index (shuffle carries 32-byte hashes, and
+    the index side is scanned, never rewritten); (3) append novel
+    fingerprints.  Returns the surviving (id, text, fp) rows.  At 10^12
+    docs the index is itself big — but it is hash-partitioned, compact
+    (one 64-hex row per doc), and this plan reads it once per batch
+    instead of re-fingerprinting the corpus."""
+    fp = F.sha2(F.col(text_col), 256)
+    batch = new_batch.select(F.col(id_col), F.col(text_col), fp.alias("fp"))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    intra = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        index = spark.read.parquet(index_path).select("fp")
+        fresh = intra.join(index, "fp", "left_anti")
+    except Exception:
+        # first batch: no index yet — everything is novel
+        fresh = intra
+    if commit:
+        # break lineage BEFORE appending: Spark recaches (recomputes) any
+        # cached plan that reads a path being written, so a mere persist
+        # would silently re-run the anti-join against the UPDATED index
+        # and return an empty frame; a checkpoint's materialized rows have
+        # no reference to the path
+        fresh = fresh.localCheckpoint(eager=True)
+        write_fingerprint_index(
+            fresh, index_path, id_col=id_col, text_col=text_col,
+            mode="append",
+        )
+    return fresh

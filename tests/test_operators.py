@@ -1042,3 +1042,50 @@ class TestRepetitionParity:
         }
         for i, t in enumerate(texts):
             assert _top_bigram_frac(t) == jvm[i], (i, t)
+
+
+class TestIncrementalDedup:
+    def test_cross_batch_dedup_against_persisted_index(self, spark, tmp_path):
+        """Continuous-crawl exact dedup: batch 2's duplicates of batch 1
+        (and its own intra-batch dupes) drop via the fingerprint index,
+        never by rescanning batch 1's text; novel fingerprints commit so
+        batch 3 sees them; commit=False leaves the index untouched."""
+        from lightly_ocr_spark.operators.dedup import (
+            incremental_exact_dedup,
+            write_fingerprint_index,
+        )
+
+        idx = str(tmp_path / "fp_index")
+        b1 = spark.createDataFrame(
+            [(i, f"batch one document {i} body") for i in range(10)],
+            "doc_id long, text string",
+        )
+        s1 = incremental_exact_dedup(spark, b1, idx)
+        assert s1.count() == 10  # first batch: everything novel
+
+        b2 = spark.createDataFrame(
+            # 0-4 duplicate batch 1; 100/101 are new; 102 dupes 101
+            [(100 + i, f"batch one document {i} body") for i in range(5)]
+            + [(100, "brand new text alpha"), (101, "brand new text beta"),
+               (102, "brand new text beta")],
+            "doc_id long, text string",
+        )
+        s2 = incremental_exact_dedup(spark, b2, idx)
+        got = sorted(r["doc_id"] for r in s2.collect())
+        assert got == [100, 101]  # cross-batch AND intra-batch dupes gone
+
+        b3 = spark.createDataFrame(
+            [(200, "brand new text alpha"),  # dupes batch 2's commit
+             (201, "never seen gamma")],
+            "doc_id long, text string",
+        )
+        s3 = incremental_exact_dedup(spark, b3, idx, commit=False)
+        assert sorted(r["doc_id"] for r in s3.collect()) == [201]
+        # commit=False: replaying b3 still sees 201 as novel
+        s3b = incremental_exact_dedup(spark, b3, idx, commit=False)
+        assert sorted(r["doc_id"] for r in s3b.collect()) == [201]
+
+        from lightly_ocr_spark.operators.dedup import write_fingerprint_index  # noqa
+        # index is hash-prefix partitioned on disk
+        import glob as g
+        assert g.glob(f"{idx}/fp_prefix=*"), "index not partitioned"
