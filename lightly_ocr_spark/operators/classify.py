@@ -91,6 +91,13 @@ def nb_fit(
                   / (F.col("tot") + F.lit(alpha * vocab))).alias("log_unseen"),
         )
     )
+    # fit is eager: materialize both model-scale outputs (|L|x|V| and |C|
+    # rows) and release the cached corpus aggregates — otherwise every
+    # nb_fit call leaks two persisted frames for the session lifetime.
+    word_model = word_model.localCheckpoint(eager=True)
+    label_model = label_model.localCheckpoint(eager=True)
+    word_counts.unpersist()
+    doc_counts.unpersist()
     return word_model, label_model
 
 

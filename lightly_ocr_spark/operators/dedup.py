@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -584,8 +585,16 @@ def incremental_exact_dedup(
     try:
         index = spark.read.parquet(index_path).select("fp")
         fresh = intra.join(index, "fp", "left_anti")
-    except Exception:
-        # first batch: no index yet — everything is novel
+    except AnalysisException as e:
+        # first batch: no index at the path yet — everything is novel.
+        # Only PATH_NOT_FOUND-class failures mean "first batch"; a corrupt
+        # footer / permission / IO error must propagate, or cross-batch
+        # dedup silently degrades to intra-batch and (commit=True) appends
+        # duplicate fingerprints that break the index's one-row-per-content
+        # invariant.
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+            raise
         fresh = intra
     if commit:
         # break lineage BEFORE appending: Spark recaches (recomputes) any

@@ -7,7 +7,9 @@ extraction UDF — SURVEY.md §2.9)."""
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -18,6 +20,9 @@ from lightly_ocr_spark.operators.langid import detect_lang
 ENRICH_SCHEMA = ("url string, lang_pred string, bigram_logp double, "
                  "top_bigram_frac double")
 
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_SIX_DP = Decimal("0.000001")
+
 
 def _top_bigram_frac(text: str) -> float:
     """Share of the hottest word-bigram among all bigrams — SAME
@@ -26,19 +31,25 @@ def _top_bigram_frac(text: str) -> float:
     same thing whichever stage computes it.  Counted here because it is
     ~free inside the Arrow crossing the pipeline already pays, while the
     JVM sorted-run fold costs ~110 s per 200 k docs as its own pass."""
-    words = text.lower().split()
+    # Java-regex \s is ASCII-only ([ \t\n\x0b\f\r]); Python str.split()
+    # splits on ALL Unicode whitespace (NBSP, ideographic space — common
+    # in web text), which would tokenize such docs differently from the
+    # JVM operator.  Split on exactly Java's class.
+    words = _JAVA_WS.split(text.lower())
+    words = [w for w in words if w]
     if len(words) < 2:
         return 0.0
     from collections import Counter
-    import math
 
     counts = Counter(zip(words, words[1:]))
     frac = max(counts.values()) / (len(words) - 1)
-    # HALF_UP at 6dp, matching Spark/DuckDB round(): Python's built-in
-    # round() is banker's and disagrees on exact ties (1/128 -> 0.007812
-    # vs 0.007813), which would let the --max-rep gate diverge from the
-    # JVM operator at the threshold
-    return math.floor(frac * 1e6 + 0.5) / 1e6
+    # HALF_UP at 6dp exactly as Spark rounds: BigDecimal.valueOf(double)
+    # goes through Double.toString (shortest repr), then setScale(6,
+    # HALF_UP) — Decimal(repr(x)).quantize replicates both steps, where
+    # floor(x*1e6+0.5) can misround when x*1e6 loses the tie in binary.
+    return float(
+        Decimal(repr(frac)).quantize(_SIX_DP, rounding=ROUND_HALF_UP)
+    )
 
 
 def _enrich_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -93,12 +93,22 @@ def bucketed_join(
     return lt.join(rt, key)
 
 
-def salt_expr(key: str, salt: int) -> F.Column:
+def salt_expr(key: str, salt: int, *content_cols: str) -> F.Column:
     """The salt-bucket assignment used by `salted_join`, exposed so tests
     exercise the REAL expression (a hand-copied duplicate in a test keeps
-    passing while the operator regresses)."""
+    passing while the operator regresses).
+
+    The salt is derived from ROW CONTENT (the key plus the row's other
+    columns), never from `monotonically_increasing_id()`/`rand()`:
+    Catalyst marks those nondeterministic, which blocks predicate pushdown
+    through the projection and makes the assignment depend on partition
+    layout (different buckets on task retry / after a repartition).  A
+    content hash is retry-stable and keeps the plan fully deterministic;
+    rows with identical full content share a bucket, which is harmless —
+    distinct rows under a hot key are what need spreading."""
     return F.pmod(
-        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)
+        F.xxhash64(F.col(key), *[F.col(c) for c in content_cols]),
+        F.lit(salt),
     ).cast("int")
 
 
@@ -113,7 +123,7 @@ def salted_join(
     joining its metadata) still lands every row on one reducer in a plain
     shuffle join — this operator pre-splits the KEY itself: the left side
     salts each row into one of `salt` sub-keys (deterministic xxhash64 of
-    the row's key plus a monotonically varying term), the right side is
+    the row's full content — retry-stable), the right side is
     replicated `salt` times, and the join key becomes (key, salt_id).
     Cost: right side inflates x`salt` (use only when right is the
     medium-but-too-big-to-broadcast side); hot-key rows spread over `salt`
@@ -124,7 +134,14 @@ def salted_join(
     sc = "_salt"
     while sc in left.columns or sc in right.columns:
         sc += "_"
-    lt = left.withColumn(sc, salt_expr(key, salt))
+    # content columns for the salt hash: every non-key column xxhash64
+    # accepts (maps are not hashable — excluded; key-only fallback if the
+    # frame is nothing but the key)
+    content = [
+        c for c, t in left.dtypes
+        if c != key and not t.startswith("map<")
+    ]
+    lt = left.withColumn(sc, salt_expr(key, salt, *content))
     rt = right.withColumn(
         sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

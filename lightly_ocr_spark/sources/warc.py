@@ -86,7 +86,11 @@ def _next_record(buf: bytes, pos: int) -> tuple[dict | None, int, int]:
     try:
         length = int(headers.get(b"content-length", b""))
     except ValueError:
-        return None, head_end + 4, head_end + 4  # malformed: skip header
+        length = -1
+    if length < 0:  # malformed/hostile (e.g. negative): skip header, keep
+        # moving — new_pos must always advance past `start` or a single
+        # bad record would loop the task forever.
+        return None, head_end + 4, head_end + 4
     body_start = head_end + 4
     body_end = body_start + length
     if body_end > len(buf):

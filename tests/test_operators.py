@@ -1031,6 +1031,13 @@ class TestRepetitionParity:
             # HALF_UP rounding tie where Python's banker's round() would
             # give 0.007812 but Spark/DuckDB give 0.007813
             " ".join(f"u{i}" for i in range(129)),
+            # Unicode whitespace: Java \s is ASCII-only, so NBSP and
+            # ideographic space are TOKEN CHARACTERS to the JVM operator;
+            # Python str.split() would split on them and disagree
+            "spam ad spam ad spam ad other words here",
+            "x　y x　y x　y a b c d e f",
+            "mix  of nbsp mid and thin space tokens "
+            "and thin space tokens",
         ]
         d = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)],
@@ -1089,3 +1096,23 @@ class TestIncrementalDedup:
         # index is hash-prefix partitioned on disk
         import glob as g
         assert g.glob(f"{idx}/fp_prefix=*"), "index not partitioned"
+
+    def test_unreadable_index_raises_not_silently_first_batch(
+        self, spark, tmp_path
+    ):
+        """Only PATH_NOT_FOUND means 'first batch'.  A real read failure
+        (corrupt footer, junk files) must PROPAGATE — treating it as
+        first-batch would return duplicates as survivors and, with
+        commit=True, append duplicate fingerprints that permanently break
+        the index's one-row-per-content invariant."""
+        from lightly_ocr_spark.operators.dedup import incremental_exact_dedup
+
+        idx = tmp_path / "bad_index"
+        idx.mkdir()
+        (idx / "part-00000.parquet").write_bytes(b"this is not parquet")
+        b = spark.createDataFrame(
+            [(1, "same text"), (2, "same text")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception) as ei:
+            incremental_exact_dedup(spark, b, str(idx), commit=False).count()
+        assert "PATH_NOT_FOUND" not in str(ei.value)

@@ -134,11 +134,21 @@ class TestPlanShape:
         from lightly_ocr_spark.plans.bucketed import salt_expr
 
         n_buckets = (
-            left.withColumn("s", salt_expr("host", 8))
+            left.withColumn("s", salt_expr("host", 8, "row_id"))
             .filter(F.col("host") == "hot.example")
             .select("s").distinct().count()
         )
         assert n_buckets >= 6, n_buckets
+
+        # the expression is DETERMINISTIC (retry-stable, pushdown-safe):
+        # the same row must land in the same bucket regardless of
+        # partition layout — monotonically_increasing_id()-based salts
+        # fail this (id depends on row position within partitions)
+        a = sorted(map(tuple, left.withColumn(
+            "s", salt_expr("host", 8, "row_id")).collect()))
+        b = sorted(map(tuple, left.repartition(13).withColumn(
+            "s", salt_expr("host", 8, "row_id")).collect()))
+        assert a == b
 
         # a caller-owned '_salt' column must survive untouched
         left2 = left.withColumn("_salt", F.lit(42))

@@ -48,6 +48,16 @@ class TestWarcParsing:
         # bad content-length header
         bad = whole.replace(b"Content-Length: ", b"Content-Length: x")
         list(parse_warc(bad))
+        # NEGATIVE content-length (hostile/malformed): body_end would land
+        # BEFORE the record start, so an unguarded parser re-parses the
+        # same record forever, emitting unbounded duplicate rows.  Must
+        # terminate, skip the bad record, and still yield the good one.
+        two = make_warc_record(
+            "https://x/neg", b"<p>bad</p>"
+        ) + make_warc_record("https://x/good", b"<p>ok</p>")
+        neg = two.replace(b"Content-Length: ", b"Content-Length: -", 1)
+        got = list(parse_warc(neg))
+        assert [r["url"] for r in got] == ["https://x/good"]
         # truncated gzip member: no exception, no partial record
         gz = make_warc([("https://x/1", b"<p>ok</p>")], gzip_members=True)
         assert list(parse_warc(gz[: len(gz) // 2])) == []
