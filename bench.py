@@ -38,6 +38,64 @@ BENCH_QUERY_NAMES = [
 ]
 
 
+def box_state() -> dict:
+    """Load average + core count — recorded so a contended reading is
+    self-identifying inside the artifact (round-3 lesson: external box
+    load swung the headline ±12% with extraction code unchanged)."""
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "load_1m": round(la1, 2),
+        "load_5m": round(la5, 2),
+        "cpu_count": os.cpu_count(),
+    }
+
+
+def _burn_once(_=None) -> int:
+    import hashlib
+
+    b = b"x" * 1_000_000
+    for _ in range(600):
+        b = hashlib.sha256(b).digest() * 31250  # keep ~1MB working set
+    return len(b)
+
+
+def calibrate() -> dict:
+    """Fixed-work CPU burn, single-thread and all-cores: on a quiet box
+    the single-thread time is a hardware constant (~1.1s here) and
+    effective_parallelism ≈ cpu_count · (hw ceiling); when outside load
+    is stealing cores both numbers degrade proportionally, so the
+    calibration block turns 'the headline regressed' into either 'code
+    regressed' or 'box was loaded' without needing any external logs."""
+    from multiprocessing import Pool
+
+    n = os.cpu_count() or 8
+    t0 = time.time()
+    _burn_once()
+    single = time.time() - t0
+    with Pool(n) as p:
+        t0 = time.time()
+        p.map(_burn_once, range(n))
+        par = time.time() - t0
+    return {
+        "calib_single_s": round(single, 3),
+        "calib_parallel_s": round(par, 3),
+        "effective_parallelism": round(n * single / par, 2) if par else None,
+    }
+
+
+def wait_for_quiet(max_wait_s: float, threshold: float = 2.0) -> float:
+    """Bounded wait for the 1-min load average to drop below `threshold`
+    before timing starts — buys an uncontended reading when the box's
+    recurring external load spikes happen to be active, without ever
+    stalling the driver more than `max_wait_s`."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if os.getloadavg()[0] <= threshold:
+            break
+        time.sleep(5.0)
+    return round(time.time() - t0, 1)
+
+
 def ensure_bench_pages(n: int) -> str:
     """Cache the synthetic corpus (no golden column — generation speed).
     Cache key includes the corpus version so generator changes invalidate."""
@@ -64,6 +122,14 @@ def main() -> None:
     from lightly_ocr_spark.operators.extract_udf import extract_pages
     from lightly_ocr_spark.plans.session import build_session
 
+    # self-defense: wait (bounded) for external load to clear, then record
+    # the box state + a fixed-work calibration INSIDE the artifact
+    waited = wait_for_quiet(
+        float(os.environ.get("BENCH_QUIET_WAIT_S", "120"))
+    )
+    state_pre = box_state()
+    calib = calibrate()
+
     pages_dir = ensure_bench_pages(n_pages)
 
     spark = build_session(
@@ -81,23 +147,51 @@ def main() -> None:
     for _ in range(2):
         extract_pages(warm).agg(F.count("*")).collect()
 
+    # single-thread calibration time on THIS box when quiet (measured
+    # repeatedly across rounds); an attempt whose post-attempt burn runs
+    # >15% over it was contended by outside load
+    quiet_calib = float(os.environ.get("BENCH_QUIET_CALIB_S", "0.50"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "6"))
+
     def run(df):
-        best, row = float("inf"), None
-        for _ in range(3):  # best-of-3: the shared box carries outside load
+        """Best-of-N with contention awareness: 3 mandatory attempts,
+        then keep attempting (with a short cool-down) while every attempt
+        so far looks contended — the round-3 driver artifact regressed
+        11.7% purely from a transient external load spike that three
+        back-to-back attempts all landed inside."""
+        best, row, attempts = float("inf"), None, []
+        for i in range(max_attempts):
             t0 = time.time()
             r = extract_pages(df).agg(
                 F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
             ).collect()[0]
-            if time.time() - t0 < best:
-                best, row = time.time() - t0, r
-        return row, best
+            dt = time.time() - t0
+            t0 = time.time()
+            _burn_once()
+            calib = time.time() - t0
+            attempts.append({
+                "s": round(dt, 3),
+                "load_1m": round(os.getloadavg()[0], 2),
+                "calib_s": round(calib, 3),
+            })
+            if dt < best:
+                best, row = dt, r
+            if i >= 2 and any(
+                a["calib_s"] <= quiet_calib * 1.15 for a in attempts
+            ):
+                break  # at least one attempt ran on a quiet box
+            if i >= 2:
+                time.sleep(10.0)  # contended: give the spike time to pass
+        return row, best, attempts
 
     # narrow path: file-split parallelism, zero shuffle (extraction is
     # row-local; input splits are byte-uniform regardless of host skew)
-    row, narrow_wall = run(pages)
+    row, narrow_wall, narrow_attempts = run(pages)
     # salted path: explicit xxhash64(url) repartition (north_rule's skew
     # defense — pays one shuffle, required when downstream ops key by host)
-    _, salted_wall = run(pages.repartition(cpus * 2, F.xxhash64("url")))
+    _, salted_wall, salted_attempts = run(
+        pages.repartition(cpus * 2, F.xxhash64("url"))
+    )
     docs_per_sec = row["n"] / narrow_wall
 
     # --- operator suite --------------------------------------------------
@@ -125,6 +219,15 @@ def main() -> None:
         "extract_chars": int(row["chars"] or 0),
         "docs_per_sec_salted": round(row["n"] / salted_wall, 1),
         "total_wall_s": round(time.time() - t_all, 3),
+        # --- box-state evidence: a contended run is visible right here --
+        "box": {
+            "quiet_wait_s": waited,
+            "pre": state_pre,
+            "post": box_state(),
+            **calib,
+            "narrow_attempts": narrow_attempts,
+            "salted_attempts": salted_attempts,
+        },
     }
     print(json.dumps(out))
 

@@ -113,6 +113,23 @@ def a4_count_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def a3_a4_count_sum_max(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 + A4 in one aggregation: counters (count/sum,
+    train/crnn.py:175-176) and the best-so-far max gate
+    (train/crnn.py:300-303) over the same groupBy — one shuffle carries
+    both operators' driver evidence.  The standalone `a3_running_max` /
+    `a4_count_sum` remain as library surface."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.max("value"), 6).alias("best_value"),
+        )
+    )
+
+
 def a5_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     """A5: Levenshtein (recog_utils.py:148-166) via the JVM builtin."""
     d = load(spark, sf, "documents")
@@ -200,14 +217,23 @@ def j3_semi_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def w1_window_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """W1: top-3 earliest events per user (reading-order window analog,
-    net.py:108)."""
+    """W1 + D10 in one window: top-3 earliest events per user
+    (reading-order window analog, net.py:108) with the deterministic
+    first-in-order element (D10's reading-order sort, net.py:108 /
+    `d10_reading_order`) carried as first_value columns over the SAME
+    window spec — one shuffle, one sort, both operators evidenced by one
+    driver row."""
+    # returns raw timestamps: pin session TZ so collected values match the
+    # UTC-naive DuckDB oracle regardless of the caller's session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
         load(spark, sf, "events")
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("first_event_id", F.first("event_id").over(w))
+        .withColumn("first_ts", F.first("ts").over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "rn")
+        .select("user_id", "event_id", "rn", "first_event_id", "first_ts")
     )
 
 
@@ -333,6 +359,51 @@ def r1_rollup(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+def c1_r1_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """C1 + R1 in one GROUPING SETS aggregation: the four sets of the
+    (o_orderpriority, o_orderstatus) cube — a strict superset of the
+    rollup's three — computed in one pass with grouping_id()
+    disambiguating subtotal rows from real NULL groups.  One Expand +
+    one shuffle instead of two full scans; the standalone `c1_cube` /
+    `r1_rollup` remain as library surface."""
+    return (
+        load(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def j2_j3_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 + J3 in one plan: per-segment counts of customers WITH orders
+    (left-semi / EXISTS) and WITHOUT (left-anti / NOT EXISTS), tagged and
+    unioned — both join operators appear in a single driver row's physical
+    plan.  The standalone `j2_anti_join` / `j3_semi_join` remain as
+    library surface."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("status", F.lit("active"))
+    )
+    inactive = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("status", F.lit("inactive"))
+    )
+    return active.unionByName(inactive).select("c_mktsegment", "status", "n")
 
 
 def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
