@@ -570,12 +570,12 @@ def incremental_exact_dedup(
     (keeper = min id per fingerprint); (2) anti-join the batch's
     fingerprints against the index (shuffle carries 32-byte hashes, and
     the index side is scanned, never rewritten); (3) append novel
-    fingerprints.  Returns the surviving (id, text, fp) rows.  At 10^12
+    fingerprints.  Returns the surviving rows with ALL input columns plus
+    `fp` (pass-through, so job pipelines keep their metadata).  At 10^12
     docs the index is itself big — but it is hash-partitioned, compact
     (one 64-hex row per doc), and this plan reads it once per batch
     instead of re-fingerprinting the corpus."""
-    fp = F.sha2(F.col(text_col), 256)
-    batch = new_batch.select(F.col(id_col), F.col(text_col), fp.alias("fp"))
+    batch = new_batch.withColumn("fp", F.sha2(F.col(text_col), 256))
     w = Window.partitionBy("fp").orderBy(id_col)
     intra = (
         batch.withColumn("_rn", F.row_number().over(w))
