@@ -139,7 +139,11 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                input_format: str = "pages",
                max_rep: float | None = None,
                checkpoint_dir: str | None = None,
-               media_path: str | None = None) -> dict:
+               media_path: str | None = None,
+               nb_model_path: str | None = None,
+               nb_drop: str | None = None,
+               pii: bool = False,
+               chunk: tuple[int, int] | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -248,6 +252,48 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         curated = curated.filter(
             F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_rep
         )
+    obs_nb = None
+    if nb_model_path is not None:
+        # model-based quality gate (the fastText slot of a curation
+        # stack): score every surviving doc with the saved NB model —
+        # broadcast model join, one doc-keyed aggregate — keep the
+        # prediction as a column, and (opt-in) drop a predicted class.
+        # Runs BEFORE the PII scrub so the model sees the same raw text
+        # distribution it was trained on.
+        from pyspark.sql import Observation
+
+        from lightly_ocr_spark.operators.classify import nb_load, nb_predict
+
+        wm, lm = nb_load(spark, nb_model_path)
+        # score from the PERSISTED gated frame, not `curated`: the latter
+        # would re-run the enrichment Arrow crossing for the prediction
+        # branch (the round-3 multi-consumer-subtree lesson).  Scoring a
+        # few rows the repetition gate later drops is free; the left join
+        # discards them.
+        preds = nb_predict(
+            gated.select("url", "text"), wm, lm, id_col="url"
+        ).select("url", F.col("pred_label").alias("nb_label"))
+        curated = curated.join(preds, "url", "left")
+        if nb_drop is not None:
+            obs_nb = Observation("curate-nb-dropped")
+            curated = curated.observe(
+                obs_nb,
+                F.sum(
+                    (F.coalesce(F.col("nb_label"), F.lit("")) == nb_drop)
+                    .cast("long")
+                ).alias("dropped"),
+            ).filter(
+                F.coalesce(F.col("nb_label"), F.lit("")) != nb_drop
+            )
+    if pii:
+        # redact emails / IPs / phone numbers in the final text (counts
+        # kept per doc); pure codegen'd regexp chains — no extra pass,
+        # the expressions ride the existing write plan
+        from lightly_ocr_spark.operators.textstats import pii_scrub_df
+
+        curated = pii_scrub_df(curated).withColumnRenamed(
+            "scrubbed", "text"
+        )
     obs_media = None
     if media_path is not None:
         obs_media = Observation("curate-media")
@@ -266,6 +312,28 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     for frame in to_unpersist:
         frame.unpersist()
 
+    n_chunks = None
+    if chunk is not None:
+        # token-window chunking of the CURATED output into training-sized
+        # rows — reads the just-written table back (local re-scan of the
+        # final, small artifact) rather than re-running the whole curation
+        # plan for the explode
+        from pyspark.sql import Observation
+
+        from lightly_ocr_spark.operators.textstats import chunk_docs
+
+        cw, cs = chunk
+        obs_chunks = Observation("curate-chunks")
+        chunks = chunk_docs(
+            spark.read.parquet(os.path.join(out_dir, "data"))
+            .select("url", "text"),
+            id_col="url", window=cw, stride=cs,
+        ).observe(obs_chunks, F.count(F.lit(1)).alias("n"))
+        chunks.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "chunks")
+        )
+        n_chunks = int(obs_chunks.get["n"])
+
     manifest = {
         "input_pages": int(obs_in.get["n"]),
         "extracted_nonempty": n_extracted,
@@ -280,6 +348,16 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         m = obs_media.get
         manifest["media_valid_items"] = int(m["items"] or 0)
         manifest["media_urls"] = int(m["urls"] or 0)
+    if nb_model_path is not None:
+        manifest["nb_model"] = nb_model_path
+        manifest["nb_drop"] = nb_drop
+        if obs_nb is not None:
+            manifest["nb_dropped"] = int(obs_nb.get["dropped"] or 0)
+    if pii:
+        manifest["pii"] = True
+    if n_chunks is not None:
+        manifest["chunk_window"], manifest["chunk_stride"] = chunk
+        manifest["n_chunks"] = n_chunks
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     uniq.unpersist()
@@ -311,7 +389,28 @@ def main() -> None:
                     "probe/validate images, featurize survivors, and "
                     "left-join per-url media counts+fingerprint onto the "
                     "curated table")
+    ap.add_argument("--nb-model", default=None,
+                    help="saved NB model dir (classify.nb_save): score "
+                    "every curated doc, keep the prediction as nb_label")
+    ap.add_argument("--nb-drop", default=None,
+                    help="drop docs the NB model predicts as this label "
+                    "(requires --nb-model)")
+    ap.add_argument("--pii", action="store_true",
+                    help="redact emails/IPs/phone numbers in the final "
+                    "text (per-doc counts kept)")
+    ap.add_argument("--chunk", default=None, metavar="W,S",
+                    help="also write chunks/: token windows of size W "
+                    "with stride S over the curated text")
     args = ap.parse_args()
+    if args.nb_drop and not args.nb_model:
+        ap.error("--nb-drop requires --nb-model")
+    chunk = None
+    if args.chunk:
+        try:
+            cw, cs = (int(x) for x in args.chunk.split(","))
+        except ValueError:
+            ap.error("--chunk expects W,S (two integers)")
+        chunk = (cw, cs)
 
     from lightly_ocr_spark.plans.session import build_session
 
@@ -320,7 +419,9 @@ def main() -> None:
         run_curate(spark, args.pages, args.out, host_cap=args.host_cap,
                    input_format=args.format, max_rep=args.max_rep,
                    checkpoint_dir=args.checkpoint_dir,
-                   media_path=args.media)
+                   media_path=args.media,
+                   nb_model_path=args.nb_model, nb_drop=args.nb_drop,
+                   pii=args.pii, chunk=chunk)
     ))
 
 

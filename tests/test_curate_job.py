@@ -195,3 +195,127 @@ class TestLangId:
             .alias("ok"),
         ).collect()[0]
         assert stats["ok"] / stats["n"] >= 0.95, stats
+
+
+class TestPiiAndChunkLegs:
+    def test_planted_pii_redacted_and_chunks_match_math(
+        self, spark, pages_dir, tmp_path
+    ):
+        """--pii + --chunk composed into the pipeline: planted emails /
+        IPs / phones are redacted in the final text, and the chunks/
+        output count matches the ta_chunking integer math applied to the
+        curated docs (VERDICT round-3 task #5 done-criteria)."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        pii_body = (
+            "reach our staff at ops@mail.example.com or 10.1.2.3 or "
+            "+49301234567 for a dozen more words of perfectly normal "
+            "body text that keeps this document past every gate"
+        )
+        planted = spark.createDataFrame(
+            [("https://pii.example/a", None,
+              f"<p>{pii_body}</p>".encode(), "", "en")],
+            PAGES_SCHEMA,
+        )
+        pdir = str(tmp_path / "pages_pii")
+        base.unionByName(planted).write.mode("overwrite").parquet(pdir)
+
+        out = str(tmp_path / "curated_pii")
+        m = run_curate(spark, pdir, out, pii=True, chunk=(32, 24))
+        assert m["pii"] is True
+        assert m["chunk_window"] == 32 and m["chunk_stride"] == 24
+
+        data = spark.read.parquet(os.path.join(out, "data"))
+        row = data.filter(F.col("url") == "https://pii.example/a").collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r["n_emails"] == 1 and r["n_ipv4"] == 1 and r["n_phones"] == 1
+        assert "<EMAIL>" in r["text"] and "<IP>" in r["text"] \
+            and "<PHONE>" in r["text"]
+        assert "ops@mail.example.com" not in r["text"]
+        # no doc anywhere in the curated table still carries an email
+        assert data.filter(
+            F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.")
+        ).count() == 0
+
+        # chunks/ exists and its count matches the exact integer math
+        # (the ta_chunking formula) applied to the curated docs
+        chunks = spark.read.parquet(os.path.join(out, "chunks"))
+        def expected(n, w=32, s=24):
+            if n == 0:
+                return 0
+            return 1 if n <= w else (n - w + s - 1) // s + 1
+        want = sum(
+            expected(len(t["text"].split()))
+            for t in data.select("text").collect()
+        )
+        assert m["n_chunks"] == chunks.count() == want
+        # the planted doc's own chunks: every chunk but the last is
+        # exactly `window` tokens (the per-doc law; operator tests cover
+        # the full contract)
+        pchunks = sorted(
+            (r["chunk_idx"], r["n_tokens"])
+            for r in chunks.filter(
+                F.col("url") == "https://pii.example/a").collect()
+        )
+        assert all(n == 32 for _, n in pchunks[:-1]) and pchunks
+
+
+class TestNbModelGate:
+    def test_planted_spam_dropped_by_trained_model(
+        self, spark, pages_dir, tmp_path
+    ):
+        """--nb-model/--nb-drop: train the in-engine NB classifier on a
+        labeled seed, save it, and let the pipeline drop docs the model
+        predicts as spam (VERDICT round-3 task #7 done-criteria)."""
+        import random
+
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.operators.classify import nb_fit, nb_save
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        spam_vocab = ("casino bonus winner jackpot pills cheap viagra "
+                      "free click prize lottery deposit").split()
+        good_vocab = ("the quick brown fox jumps over a lazy dog while "
+                      "reading pleasant honest article text").split()
+        rng = random.Random(7)
+        seed_rows = []
+        for i in range(60):
+            seed_rows.append(
+                ("spam", " ".join(rng.choices(spam_vocab, k=30))))
+            seed_rows.append(
+                ("good", " ".join(rng.choices(good_vocab, k=30))))
+        seed = spark.createDataFrame(seed_rows, "label string, text string")
+        wm, lm = nb_fit(seed)
+        model_dir = str(tmp_path / "nb_model")
+        nb_save(wm, lm, model_dir)
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        spam_pages = spark.createDataFrame(
+            [(f"https://spamgate.example/{i}", None,
+              ("<p>" + " ".join(
+                  rng.choices(spam_vocab, k=25) + [f"tag{i}"]
+              ) + "</p>").encode(), "", "en")
+             for i in range(5)],
+            PAGES_SCHEMA,
+        )
+        pdir = str(tmp_path / "pages_nb")
+        base.unionByName(spam_pages).write.mode("overwrite").parquet(pdir)
+
+        out = str(tmp_path / "curated_nb")
+        m = run_curate(spark, pdir, out, nb_model_path=model_dir,
+                       nb_drop="spam")
+        assert m["nb_model"] == model_dir and m["nb_drop"] == "spam"
+        assert m["nb_dropped"] >= 5
+
+        data = spark.read.parquet(os.path.join(out, "data"))
+        assert data.filter(
+            F.col("url").startswith("https://spamgate.example/")
+        ).count() == 0
+        # normal docs survive and carry their prediction column
+        assert "nb_label" in data.columns
+        n = data.count()
+        assert n > 1000
+        assert data.filter(F.col("nb_label") == "good").count() >= int(0.9 * n)
