@@ -83,6 +83,20 @@ def calibrate() -> dict:
     }
 
 
+def steal_ticks() -> int:
+    """Total hypervisor steal ticks across all cpus (/proc/stat col 8,
+    USER_HZ=100).  Steal integrates over an interval, so bracketing a
+    timed attempt with two reads measures exactly how many core-seconds
+    outside load took DURING the attempt — the signal the calibration
+    burns (which only sample moments) structurally miss."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return int(p[8]) if len(p) > 8 else 0
+    except OSError:
+        return 0
+
+
 def wait_for_quiet(max_wait_s: float, threshold: float = 2.0) -> float:
     """Bounded wait for the 1-min load average to drop below `threshold`
     before timing starts — buys an uncontended reading when the box's
@@ -168,13 +182,9 @@ def main() -> None:
     for _ in range(2):
         extract_pages(warm).agg(F.count("*")).collect()
 
-    # effective parallelism of the all-cores burn on THIS box when quiet
-    # (hardware ceiling ~24 of 32 at full fan-out, measured across
-    # rounds); an attempt bracketed by a burn well below it ran while
-    # outside load was stealing cores.  A single-thread burn CANNOT see
-    # partial theft (one thread still gets a whole core), so the quiet
-    # signal must be the parallel burn.
-    quiet_par = float(os.environ.get("BENCH_QUIET_PARALLELISM", "21"))
+    # an attempt counts as quiet when the hypervisor stole <= ~1.5 cores'
+    # worth of time during it (/proc/stat steal, integrated over the
+    # attempt — the only signal that can't miss a mid-attempt spike)
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "6"))
 
     def run(df):
@@ -186,22 +196,26 @@ def main() -> None:
         inside."""
         best, row, attempts = float("inf"), None, []
         for i in range(max_attempts):
+            st0 = steal_ticks()
             t0 = time.time()
             r = extract_pages(df).agg(
                 F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
             ).collect()[0]
             dt = time.time() - t0
-            c = calibrate()
+            # cores the hypervisor took from us during THIS attempt
+            stolen = (steal_ticks() - st0) / 100.0 / dt
             attempts.append({
                 "s": round(dt, 3),
+                "stolen_cores": round(stolen, 2),
                 "load_1m": round(os.getloadavg()[0], 2),
-                "eff_par": c["effective_parallelism"],
             })
             improved = dt < best
             if improved:
                 best, row = dt, r
             if i >= 2:
-                quiet_seen = any(a["eff_par"] >= quiet_par for a in attempts)
+                quiet_seen = any(
+                    a["stolen_cores"] <= 1.5 for a in attempts
+                )
                 if quiet_seen and not improved:
                     break
                 time.sleep(8.0)  # contended/improving: let the spike pass

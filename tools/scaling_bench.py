@@ -21,10 +21,34 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, os, shutil, sys, tempfile, time
+import hashlib, json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 cores = {cores}
 pages_dir = {pages_dir!r}
+
+def burn():
+    # fixed-work single-thread burn ON THE PINNED CORES: detects external
+    # load stealing time from this leg's core budget (quiet ~0.50s)
+    t0 = time.time()
+    b = b"x" * 1_000_000
+    for _ in range(600):
+        b = hashlib.sha256(b).digest() * 31250
+    return round(time.time() - t0, 3)
+
+def steal_ticks():
+    # hypervisor steal on THIS leg's pinned cores (cpu0..cpu{{cores-1}}):
+    # the ground-truth contention signal — burns only sample moments,
+    # steal integrates over the whole timed section
+    t = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            p = line.split()
+            if p and p[0].startswith("cpu") and p[0][3:].isdigit():
+                if int(p[0][3:]) < cores and len(p) > 8:
+                    t += int(p[8])
+    return t
+
+calib_pre = burn()
 from lightly_ocr_spark.plans.session import build_session
 from lightly_ocr_spark.jobs.extract_job import run_extract
 from lightly_ocr_spark.operators.extract_udf import extract_pages
@@ -37,6 +61,7 @@ warm = spark.read.parquet(pages_dir).limit(2048)
 extract_pages(warm).agg(F.count("*")).collect()
 
 out = tempfile.mkdtemp(prefix="scale_out_")
+st0 = steal_ticks()
 t0 = time.time()
 # salt=True pinned: the job default is now salt-auto (narrow for parquet),
 # but this protocol deliberately measures the salted form — it has the
@@ -44,10 +69,17 @@ t0 = time.time()
 summary = run_extract(spark, pages_dir, out, n_slices=4, resume=False,
                       salt_partitions=2 * cores, salt=True)
 wall = time.time() - t0
+st1 = steal_ticks()
+# fraction of this leg's core-seconds stolen by the hypervisor during
+# the timed section (USER_HZ = 100 ticks/s)
+steal_frac = (st1 - st0) / 100.0 / (cores * wall)
 shutil.rmtree(out, ignore_errors=True)
 print(json.dumps({{"cores": cores, "docs": summary["rows_out"],
                    "wall_s": round(wall, 2),
-                   "docs_sec": round(summary["rows_out"] / wall, 1)}}))
+                   "docs_sec": round(summary["rows_out"] / wall, 1),
+                   "steal_frac": round(steal_frac, 4),
+                   "calib_pre": calib_pre, "calib_post": burn(),
+                   "load_1m": round(os.getloadavg()[0], 2)}}))
 """
 
 
@@ -98,6 +130,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--pages", type=int, default=600000)
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--attempts", type=int, default=1,
+                    help="matched (N, 4N) pairs to run; the pair with the "
+                    "quietest per-leg calibration burns is reported "
+                    "(each pair stays matched — efficiency is never "
+                    "computed across attempts)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -105,11 +142,25 @@ def main() -> None:
 
     pages_dir = ensure_bench_pages(args.pages)
     ceiling = cpu_ceiling(args.n)
-    small = run_child(args.n, pages_dir)
-    big = run_child(args.n * 4, pages_dir)
-    eff = (big["docs_sec"] / small["docs_sec"]) / 4.0
-    result = {"N": small, "4N": big, "scaling_efficiency": round(eff, 3),
-              "hw_ceiling": round(ceiling, 3), "pages": args.pages}
+    attempts = []
+    for k in range(max(1, args.attempts)):
+        small = run_child(args.n, pages_dir)
+        big = run_child(args.n * 4, pages_dir)
+        eff = (big["docs_sec"] / small["docs_sec"]) / 4.0
+        # contention score: worst hypervisor-steal fraction across both
+        # legs (integrated over each timed section) — the pair whose
+        # worse leg lost the least core-time is the cleanest pair
+        worst = max(small["steal_frac"], big["steal_frac"])
+        attempts.append({"N": small, "4N": big,
+                         "scaling_efficiency": round(eff, 3),
+                         "worst_steal_frac": worst})
+        print(json.dumps(attempts[-1]), file=sys.stderr)
+    chosen = min(attempts, key=lambda a: a["worst_steal_frac"])
+    small, big = chosen["N"], chosen["4N"]
+    result = {"N": small, "4N": big,
+              "scaling_efficiency": chosen["scaling_efficiency"],
+              "hw_ceiling": round(ceiling, 3), "pages": args.pages,
+              "attempts": attempts}
     print(json.dumps(result))
 
     if args.write_md:
