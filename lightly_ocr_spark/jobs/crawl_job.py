@@ -15,9 +15,15 @@ two-phase because TWO stores must agree):
     1. survivors  = extract -> url-revisit dedup -> incremental exact
                     dedup (anti-join the index; localCheckpoint freezes
                     the rows so later index writes can't recompute them)
+                    -> optional incremental NEAR dedup (--near-index:
+                    MinHash-LSH against the persisted signature index)
     2. corpus     : write batch=<id>/ parquet (overwrite — idempotent)
     3. manifest   : batch-<id>.json      <- CORPUS commit point
-    4. index      : append survivors' fingerprints
+    4. index      : append near-survivors' signatures (when --near-index),
+                    THEN exact fingerprints — near-first, so a crash
+                    between the two appends replays with the exact
+                    anti-join still computing the full survivor set while
+                    the near re-append no-ops on self-matches
     5. fp marker  : batch-<id>.fp.json   <- INDEX commit point
 
 Crash anywhere, rerun the same batch, and counts stay exact:
@@ -92,6 +98,7 @@ def process_pages_batch(
     batch_id: str,
     min_tokens: int = MIN_TOKENS,
     input_desc: str | None = None,
+    near_index_path: str | None = None,
 ) -> dict:
     """One crawl batch, end to end, with the two-phase commit above.
 
@@ -128,10 +135,40 @@ def process_pages_batch(
     # localCheckpoint freezes the survivor rows: both the corpus write and
     # the later index append read materialized rows, never a plan that
     # still references the index path being appended to.
-    survivors = incremental_exact_dedup(
+    exact_survivors = incremental_exact_dedup(
         spark, one_per_url, index_path, id_col="url", commit=False
     ).localCheckpoint(eager=True)
-    n_unique = survivors.count()
+    n_unique = exact_survivors.count()
+
+    survivors = exact_survivors
+    near_sigs = None
+    n_near_unique = None
+    if near_index_path is not None:
+        # MinHash near-dedup against the persisted signature index (a
+        # trivially-mutated copy of corpus content defeats exact
+        # fingerprints every batch without this).  commit=False — the
+        # append is gated on the corpus manifest below, and it must run
+        # BEFORE the exact append: if the crash window falls between the
+        # two appends, the replay's exact anti-join (exact index still
+        # unchanged) recomputes the full exact-survivor set, while
+        # near-dedup's self-match rule makes its own re-append a no-op.
+        # The EXACT index still records every exact-novel fingerprint
+        # (near-dropped included): future byte-identical copies of a
+        # near-dropped doc stop at the cheap exact stage.
+        from lightly_ocr_spark.operators.dedup import (
+            incremental_near_dedup,
+            minhash_signatures,
+        )
+
+        survivors = incremental_near_dedup(
+            spark, exact_survivors, near_index_path, id_col="url",
+            commit=False,
+        ).localCheckpoint(eager=True)
+        near_sigs = minhash_signatures(
+            survivors.select(F.col("url").alias("doc_id"), "text"),
+            ngram=3,
+        ).localCheckpoint(eager=True)
+        n_near_unique = survivors.count()
 
     if os.path.exists(mpath):
         # replaying the index-append phase only: the corpus commit already
@@ -180,14 +217,21 @@ def process_pages_batch(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
+        if n_near_unique is not None:
+            manifest["n_near_unique"] = n_near_unique
         _atomic_json(mpath, manifest)  # CORPUS commit point
 
-    # INDEX append — only ever after the corpus manifest exists.
-    # survivors is anti-joined against the index as of this run's read, so
-    # a replay after a completed append computes zero rows here and the
-    # append degenerates to a no-op.
+    # INDEX appends — only ever after the corpus manifest exists; both
+    # are anti-joined against their index as of this run's read, so a
+    # replay after a completed append computes zero rows and the append
+    # degenerates to a no-op.  NEAR before EXACT (see comment above).
+    if near_sigs is not None:
+        from lightly_ocr_spark.operators.dedup import write_minhash_index
+
+        write_minhash_index(near_sigs, near_index_path, mode="append")
     write_fingerprint_index(
-        survivors, index_path, id_col="url", text_col="text", mode="append"
+        exact_survivors, index_path, id_col="url", text_col="text",
+        mode="append",
     )
     _atomic_json(fpath, {"batch": batch_id, "fps_appended": n_unique})
     manifest = dict(manifest)
@@ -215,6 +259,7 @@ def run_crawl_batch(
     batch_id: str | None = None,
     input_format: str = "pages",
     min_tokens: int = MIN_TOKENS,
+    near_index_path: str | None = None,
 ) -> dict:
     """Batch front door: one crawl drop from disk.  batch_id defaults to
     the input basename — re-running the same drop resumes, a new drop
@@ -225,6 +270,7 @@ def run_crawl_batch(
     return process_pages_batch(
         spark, pages, out_dir, index_path, batch_id, min_tokens=min_tokens,
         input_desc=f"{input_format}:{os.path.abspath(input_path)}",
+        near_index_path=near_index_path,
     )
 
 
@@ -236,6 +282,7 @@ def run_crawl_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     min_tokens: int = MIN_TOKENS,
+    near_index_path: str | None = None,
 ) -> dict:
     """Streaming front door: archives dropped into `warc_dir` flow through
     the SAME per-batch commit discipline, one epoch per trigger.  Runs to
@@ -249,7 +296,7 @@ def run_crawl_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         process_pages_batch(
             spark, batch_df, out_dir, index_path, f"epoch-{epoch_id}",
-            min_tokens=min_tokens,
+            min_tokens=min_tokens, near_index_path=near_index_path,
         )
 
     q = (
@@ -296,6 +343,11 @@ def main() -> None:
     ap.add_argument("--format", choices=("pages", "warc", "jsonl"),
                     default="pages")
     ap.add_argument("--min-tokens", type=int, default=MIN_TOKENS)
+    ap.add_argument("--near-index", default=None,
+                    help="optional MinHash signature index directory: also "
+                    "near-dedup each batch against everything admitted so "
+                    "far (mutated boilerplate that defeats exact "
+                    "fingerprints)")
     ap.add_argument("--stream", action="store_true",
                     help="watch --input as a streaming WARC directory")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -312,13 +364,13 @@ def main() -> None:
             ap.error("--stream requires --checkpoint-dir")
         out = run_crawl_stream(
             spark, args.input, args.out, args.index, args.checkpoint_dir,
-            min_tokens=args.min_tokens,
+            min_tokens=args.min_tokens, near_index_path=args.near_index,
         )
     else:
         out = run_crawl_batch(
             spark, args.input, args.out, args.index,
             batch_id=args.batch_id, input_format=args.format,
-            min_tokens=args.min_tokens,
+            min_tokens=args.min_tokens, near_index_path=args.near_index,
         )
     print(json.dumps(out))
 

@@ -159,15 +159,14 @@ def minhash_signatures(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def band_candidate_pairs(
+def band_buckets(
     sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
-    """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
-    (id_a < id_b) sharing at least one LSH band hash.  The single shared
-    implementation of the banding math (rows-per-band split, per-band
-    xxhash64, explode + self-equi-join on (band, hash)) — used by both the
-    dd_minhash query and the curation pipeline so the constants and bucket
-    layout cannot drift apart."""
+    """Signature frame (doc_id, mh0..mh{k-1}) -> stacked LSH bucket rows
+    (doc_id, band, bh): rows-per-band split, per-band xxhash64, one
+    explode.  The single shared banding projection — candidate-pair
+    generation, the curation pipeline, and the persisted near-dup index
+    all derive buckets from here so the bucket layout cannot drift."""
     if k % bands:
         raise ValueError(
             f"k={k} not divisible by bands={bands}: the trailing "
@@ -183,7 +182,7 @@ def band_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -192,6 +191,15 @@ def band_candidate_pairs(
             ])
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+
+
+def band_candidate_pairs(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
+    (id_a < id_b) sharing at least one LSH band hash, via the shared
+    `band_buckets` projection and a self-equi-join on (band, hash)."""
+    stacked = band_buckets(sig, k, bands)
     x = stacked.alias("x")
     y = stacked.alias("y")
     return (
@@ -608,3 +616,154 @@ def incremental_exact_dedup(
             mode="append",
         )
     return fresh
+
+
+def write_minhash_index(
+    sigs: DataFrame, path: str, mode: str = "overwrite",
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+) -> None:
+    """Materialize the corpus NEAR-dup index from a signature frame
+    (doc_id, mh0..mh{k-1}): two datasets under `path` —
+
+      sigs/     one row per doc (the verification surface; joined only
+                for candidates, by doc_id)
+      buckets/  (doc_id, band, bh), partitioned by (band, bh_prefix):
+                the candidate surface — batch N+1's buckets equi-join
+                here, so candidate generation touches bucket rows, never
+                signatures, and partition pruning can narrow a probe to
+                one band/prefix shard
+
+    `mode='append'` is how a batch commits its survivors' signatures.
+    A crash between the two dataset appends is harmless-by-redundancy: a
+    doc present in only one dataset is not yet matchable (candidates need
+    buckets, verification needs sigs), the replaying batch re-appends it,
+    and the duplicate rows are absorbed by the `distinct` in candidate
+    generation."""
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    (
+        band_buckets(sigs, k, bands)
+        .withColumn("bh_prefix", F.pmod("bh", F.lit(16)).cast("int"))
+        .write.mode(mode)
+        .partitionBy("band", "bh_prefix")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def incremental_near_dedup(
+    spark: SparkSession, new_batch: DataFrame, index_path: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS, ngram: int = 3,
+    min_agreement: float = 0.5, commit: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dedup a NEW crawl batch against the persisted minhash index,
+    then (commit=True) append the survivors' signatures so the next batch
+    sees them — the MinHash-LSH twin of `incremental_exact_dedup`, and
+    the missing piece of a continuous-crawl loop (exact dedup alone lets
+    trivially-mutated boilerplate re-enter the corpus every batch).
+
+    Plan, none of it rescanning corpus text:
+      1. batch signatures (one groupBy) — persisted: they feed candidate
+         generation, BOTH verification sides, and the commit append;
+      2. CROSS candidates: batch buckets equi-join the index's bucket
+         dataset on (band, bh) — uniform hash keys, candidates bounded by
+         bucket collisions, never all-pairs;
+      3. verify candidates by full-signature agreement (>= min_agreement
+         of k minhashes) joining batch sigs with ONLY the candidate
+         corpus sigs; any verified match drops the batch doc (the corpus
+         copy is the cluster keeper);
+      4. INTRA-batch near-dedup among the remainder: the shared
+         band_candidate_pairs -> agreement verify -> connected components
+         -> keep each cluster's min id (transitive chains collapse to one
+         survivor, same semantics as the curation pipeline);
+      5. append survivors' sigs+buckets (idempotent on replay: a doc
+         whose signature is already indexed matches ITSELF with k/k
+         agreement and drops in step 3, so the recomputed survivor set is
+         empty and the append is a no-op).
+
+    Returns surviving rows with all input columns.  Dropped near-dups'
+    signatures are NOT indexed — each cluster is represented by its
+    keeper, exactly like the batch curation pipeline."""
+    from pyspark import StorageLevel
+
+    batch = new_batch.withColumnRenamed(id_col, "doc_id") \
+        if id_col != "doc_id" else new_batch
+    sig_b = minhash_signatures(
+        batch.select("doc_id", F.col(text_col).alias("text")),
+        k=k, ngram=ngram,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    need = int(min_agreement * k)
+    agree = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
+        for i in range(k)
+    )
+
+    cross_drops = None
+    try:
+        idx_sigs = spark.read.parquet(f"{index_path}/sigs").select(
+            F.col("doc_id").alias("corpus_id"),
+            *[F.col(f"mh{i}") for i in range(k)],
+        )
+        idx_buckets = spark.read.parquet(f"{index_path}/buckets").select(
+            F.col("doc_id").alias("corpus_id"), "band", "bh"
+        )
+        cand = (
+            band_buckets(sig_b, k, bands)
+            .join(idx_buckets, ["band", "bh"])
+            .select("doc_id", "corpus_id")
+            .distinct()
+        )
+        cross_drops = (
+            cand.join(sig_b.alias("sa"), "doc_id")
+            .join(idx_sigs.alias("sb"), "corpus_id")
+            .filter(agree >= need)
+            .select("doc_id")
+            .distinct()
+        )
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+            raise
+        # first batch: no index yet
+
+    sig_rem = (
+        sig_b.join(cross_drops, "doc_id", "left_anti")
+        if cross_drops is not None else sig_b
+    )
+    # intra-batch: candidate pairs -> verified pairs -> components
+    pairs = band_candidate_pairs(sig_rem, k, bands)
+    verified = (
+        pairs.join(
+            sig_rem.alias("sa"), F.col("id_a") == F.col("sa.doc_id")
+        )
+        .join(sig_rem.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(agree >= need)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comp = connected_components(verified, checkpoint_dir=checkpoint_dir)
+    intra_drops = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    # anti-joins, not a semi-join against sig_rem: a doc with no tokens
+    # has no signature at all — it cannot near-dup anything and must
+    # SURVIVE, not silently vanish with the dropped set
+    survivors = batch
+    if cross_drops is not None:
+        survivors = survivors.join(cross_drops, "doc_id", "left_anti")
+    survivors = survivors.join(intra_drops, "doc_id", "left_anti")
+
+    if commit:
+        # freeze the surviving signatures BEFORE appending: the sig_rem
+        # plan reads index_path (recache hazard — same as the exact index)
+        out_sigs = (
+            sig_rem.join(intra_drops, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        write_minhash_index(out_sigs, index_path, mode="append",
+                            k=k, bands=bands)
+    sig_b.unpersist()
+    out = survivors
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -302,3 +302,106 @@ class TestCrawlStream:
             ).select("text").collect()
         }
         assert stream_texts == batch_texts and len(stream_texts) == 7
+
+
+class TestCrawlNearIndex:
+    def test_mutated_cross_batch_copies_drop_via_near_index(
+        self, spark, tmp_path
+    ):
+        """--near-index: batch 2 carries byte-DIFFERENT but near-identical
+        copies of batch-1 content (exact fingerprints are blind to them);
+        the persisted MinHash index drops them, novel content survives,
+        and both indexes stay consistent through a full-batch replay."""
+        out = str(tmp_path / "corpus")
+        idx = str(tmp_path / "fp_index")
+        nidx = str(tmp_path / "mh_index")
+
+        body = _body("boiler") + (
+            " repeated boilerplate navigation footer sentence that crawls "
+            "re-emit with tiny mutations every single fetch cycle"
+        )
+        b1 = str(tmp_path / "b1")
+        _write_pages(spark, b1, [
+            _page("https://n.example/orig", body),
+            _page("https://n.example/other", _body("totally-else") +
+                  " unrelated vocabulary galore qq ww ee rr tt yy uu"),
+        ])
+        m1 = run_crawl_batch(spark, b1, out, idx, batch_id="b1",
+                             near_index_path=nidx)
+        assert m1["n_unique"] == 2 and m1["n_near_unique"] == 2
+        assert m1["rows_written"] == 2
+
+        b2 = str(tmp_path / "b2")
+        _write_pages(spark, b2, [
+            # byte-different near-copy: one word appended
+            _page("https://n.example/mut1", body + " extra"),
+            # another mutation: one word changed
+            _page("https://n.example/mut2",
+                  body.replace("footer", "bottom")),
+            _page("https://n.example/new", _body("fresh") +
+                  " genuinely new vocabulary zz xx cc vv bb nn mm"),
+        ])
+        m2 = run_crawl_batch(spark, b2, out, idx, batch_id="b2",
+                             near_index_path=nidx)
+        # exact dedup passes all 3 (all byte-novel); near index drops the
+        # two mutations
+        assert m2["n_unique"] == 3 and m2["n_near_unique"] == 1
+        assert m2["rows_written"] == 1
+        urls = _corpus_urls(spark, out)
+        assert "https://n.example/mut1" not in urls
+        assert "https://n.example/mut2" not in urls
+        assert "https://n.example/new" in urls
+
+        # full replay of batch 2: skipped, indexes unchanged
+        n_sigs = spark.read.parquet(f"{nidx}/sigs").count()
+        n_fps = spark.read.parquet(idx).count()
+        m2b = run_crawl_batch(spark, b2, out, idx, batch_id="b2",
+                              near_index_path=nidx)
+        assert m2b["skipped"] is True
+        assert spark.read.parquet(f"{nidx}/sigs").count() == n_sigs == 3
+        assert spark.read.parquet(idx).count() == n_fps == 5
+
+    def test_crash_between_near_and_exact_append_replays_complete(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash in the window between the near-sig append and the exact
+        fp append: replay must land the exact fps without losing or
+        double-appending near sigs."""
+        out = str(tmp_path / "corpus")
+        idx = str(tmp_path / "fp_index")
+        nidx = str(tmp_path / "mh_index")
+        b1 = str(tmp_path / "b1")
+        _write_pages(spark, b1, [
+            # majority-distinct vocabulary per doc: the shared template
+            # must NOT dominate the 3-gram shingle sets, or near-dedup
+            # correctly clusters all three into one survivor
+            _page(f"https://c.example/{i}",
+                  _body(f"c-{i}") + " " + " ".join(
+                      f"only{i}word{j} vocab{i}x{j}" for j in range(30)))
+            for i in range(3)
+        ])
+
+        import lightly_ocr_spark.jobs.crawl_job as cj
+        real_fp = cj.write_fingerprint_index
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before exact append")
+
+        monkeypatch.setattr(cj, "write_fingerprint_index", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_crawl_batch(spark, b1, out, idx, batch_id="b1",
+                            near_index_path=nidx)
+        # near sigs landed, exact did not — the window under test
+        assert spark.read.parquet(f"{nidx}/sigs").count() == 3
+        import os as _os
+        assert not _os.path.exists(idx)
+
+        monkeypatch.setattr(cj, "write_fingerprint_index", real_fp)
+        m = run_crawl_batch(spark, b1, out, idx, batch_id="b1",
+                            near_index_path=nidx)
+        assert m["rows_written"] == 3
+        # exact fps complete; near sigs NOT duplicated
+        assert spark.read.parquet(idx).count() == 3
+        sigs = spark.read.parquet(f"{nidx}/sigs")
+        assert sigs.count() == 3
+        assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0

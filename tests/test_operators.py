@@ -1116,3 +1116,107 @@ class TestIncrementalDedup:
         with pytest.raises(Exception) as ei:
             incremental_exact_dedup(spark, b, str(idx), commit=False).count()
         assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+class TestIncrementalNearDedup:
+    def _doc(self, tag, mutate=None):
+        words = [f"w{tag}{i}" for i in range(40)]
+        base = ("shared preamble text runs across every document in this "
+                "family so shingles overlap heavily ").split()
+        body = base * 3 + words[:8]
+        if mutate is not None:
+            body = body[:-1] + [f"mut{mutate}"]
+        return " ".join(body)
+
+    def test_cross_batch_near_dups_drop_via_persisted_index(
+        self, spark, tmp_path
+    ):
+        """Batch 2's lightly-mutated copies of batch-1 docs (exact dedup
+        blind to them) drop via the persisted minhash index; novel docs
+        survive and commit; replay after commit is a no-op (self-match at
+        k/k agreement)."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_index")
+        b1 = spark.createDataFrame(
+            [(i, self._doc(i)) for i in range(4)],
+            "doc_id long, text string",
+        )
+        s1 = incremental_near_dedup(spark, b1, idx)
+        n1 = s1.count()
+        assert 1 <= n1 <= 4  # the shared preamble may cluster some of b1
+
+        kept1 = {r["doc_id"] for r in s1.collect()}
+        some_kept = min(kept1)
+        b2 = spark.createDataFrame(
+            # 100/101: near-dup mutations of a batch-1 KEPT doc;
+            # 200: a genuinely different doc (distinct vocabulary)
+            [(100, self._doc(some_kept, mutate="a")),
+             (101, self._doc(some_kept, mutate="b")),
+             (200, "totally disjoint vocabulary " + " ".join(
+                 f"zq{i} xv{i} kj{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        s2 = incremental_near_dedup(spark, b2, idx)
+        got2 = sorted(r["doc_id"] for r in s2.collect())
+        assert got2 == [200], got2
+
+        # replay of batch 2: survivors already indexed -> self-match -> []
+        s2b = incremental_near_dedup(spark, b2, idx)
+        assert s2b.count() == 0
+
+    def test_no_token_docs_survive(self, spark, tmp_path):
+        """A doc with no tokens has no signature — it can't near-dup
+        anything and must survive, not silently vanish."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_index2")
+        b = spark.createDataFrame(
+            [(1, self._doc(1)), (2, "")], "doc_id long, text string",
+        )
+        s = incremental_near_dedup(spark, b, idx, commit=False)
+        assert 2 in {r["doc_id"] for r in s.collect()}
+
+    def test_intra_batch_transitive_chain_one_survivor(
+        self, spark, tmp_path
+    ):
+        """A-B-C mutation chain inside ONE batch collapses to a single
+        survivor via connected components (pairwise drop-larger would
+        leave two)."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_index3")
+        base = self._doc(9)
+        b = spark.createDataFrame(
+            [(1, base),
+             (2, base.replace("mut", "xut") if "mut" in base
+              else base + " tailx"),
+             (3, base + " taily")],
+            "doc_id long, text string",
+        )
+        s = incremental_near_dedup(spark, b, idx, commit=False)
+        assert s.count() == 1 and s.collect()[0]["doc_id"] == 1
+
+    def test_pass_through_columns_and_custom_id(self, spark, tmp_path):
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_index4")
+        b = spark.createDataFrame(
+            [("u1", self._doc(5), 7)], "url string, text string, extra int",
+        )
+        s = incremental_near_dedup(spark, b, idx, id_col="url")
+        row = s.collect()[0]
+        assert row["url"] == "u1" and row["extra"] == 7
+
+    def test_corrupt_index_raises(self, spark, tmp_path):
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = tmp_path / "mh_bad"
+        (idx / "sigs").mkdir(parents=True)
+        (idx / "sigs" / "part-0.parquet").write_bytes(b"junk")
+        b = spark.createDataFrame(
+            [(1, self._doc(1))], "doc_id long, text string",
+        )
+        with pytest.raises(Exception) as ei:
+            incremental_near_dedup(spark, b, str(idx), commit=False).count()
+        assert "PATH_NOT_FOUND" not in str(ei.value)
