@@ -68,7 +68,10 @@ def calibrate() -> dict:
     regressed' or 'box was loaded' without needing any external logs."""
     from multiprocessing import Pool
 
-    n = os.cpu_count() or 8
+    try:  # respect CPU affinity (bench pins to the claimed core budget)
+        n = len(os.sched_getaffinity(0))
+    except AttributeError:
+        n = os.cpu_count() or 8
     t0 = time.time()
     _burn_once()
     single = time.time() - t0
@@ -160,6 +163,15 @@ def main() -> None:
     # local-mode analog of running more executors-per-node than
     # cores/task.cpus on a cluster.  Measured 46.1k vs 37.9k docs/s quiet.
     slot_threads = cpus * 3 // 2
+    # honesty guard: local[slot_threads] creates MORE scheduler slots than
+    # the claimed core budget, so pin the whole process tree (JVM + Python
+    # workers inherit affinity) to exactly `cpus` cores — the extra slots
+    # may only interleave on the claimed cores, never spill beyond them
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+        pinned = True
+    except (AttributeError, OSError):
+        pinned = False
     spark = build_session(
         "bench", cores=slot_threads, shuffle_partitions=cpus,
         python_heavy=True,
@@ -258,6 +270,8 @@ def main() -> None:
         "total_wall_s": round(time.time() - t_all, 3),
         # --- box-state evidence: a contended run is visible right here --
         "box": {
+            "cpu_affinity_pinned": pinned,
+            "slot_threads": slot_threads,
             "quiet_wait_s": waited,
             "pre": state_pre,
             "post": box_state(),

@@ -155,19 +155,12 @@ def process_pages_batch(
         # The EXACT index still records every exact-novel fingerprint
         # (near-dropped included): future byte-identical copies of a
         # near-dropped doc stop at the cheap exact stage.
-        from lightly_ocr_spark.operators.dedup import (
-            incremental_near_dedup,
-            minhash_signatures,
-        )
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
 
-        survivors = incremental_near_dedup(
+        survivors, near_sigs = incremental_near_dedup(
             spark, exact_survivors, near_index_path, id_col="url",
-            commit=False,
-        ).localCheckpoint(eager=True)
-        near_sigs = minhash_signatures(
-            survivors.select(F.col("url").alias("doc_id"), "text"),
-            ngram=3,
-        ).localCheckpoint(eager=True)
+            commit=False, with_sigs=True,
+        )
         n_near_unique = survivors.count()
 
     if os.path.exists(mpath):
@@ -292,8 +285,10 @@ def run_crawl_stream(
     from lightly_ocr_spark.streaming.warc_stream import warc_pages_stream
 
     pages = warc_pages_stream(spark, warc_dir, max_files_per_trigger)
+    seen: list[str] = []
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        seen.append(f"epoch-{epoch_id}")
         process_pages_batch(
             spark, batch_df, out_dir, index_path, f"epoch-{epoch_id}",
             min_tokens=min_tokens, near_index_path=near_index_path,
@@ -309,20 +304,18 @@ def run_crawl_stream(
     finally:
         q.stop()
 
-    import glob
-
-    manifests = sorted(
-        glob.glob(os.path.join(out_dir, MANIFEST_DIR, "batch-*.json"))
-    )
-    manifests = [m for m in manifests if not m.endswith(".fp.json")]
+    # summarize ONLY the epochs THIS invocation processed — out_dir may
+    # also hold manifests from batch-mode runs or earlier stream runs,
+    # which belong to those invocations' summaries
     total_rows = total_unique = 0
-    for p in manifests:
-        with open(p) as f:
+    for bid in seen:
+        mpath, _ = _manifest_paths(out_dir, bid)
+        with open(mpath) as f:
             m = json.load(f)
         total_rows += m["rows_written"]
         total_unique += m["n_unique"]
     return {
-        "batches": len(manifests),
+        "batches": len(seen),
         "n_unique": total_unique,
         "rows_written": total_rows,
     }

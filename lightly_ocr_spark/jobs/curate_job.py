@@ -153,6 +153,12 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     for the input/extracted counters."""
     from pyspark.sql import Observation
 
+    if chunk is not None and not 0 < chunk[1] <= chunk[0]:
+        # validate BEFORE the pipeline runs: chunk_docs would raise the
+        # same error, but only after hours of curation work at scale
+        raise ValueError(
+            f"need 0 < stride <= window, got {chunk[1]}/{chunk[0]}"
+        )
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     obs_in = Observation("curate-input")
@@ -410,6 +416,8 @@ def main() -> None:
             cw, cs = (int(x) for x in args.chunk.split(","))
         except ValueError:
             ap.error("--chunk expects W,S (two integers)")
+        if not 0 < cs <= cw:
+            ap.error(f"--chunk needs 0 < S <= W, got {args.chunk}")
         chunk = (cw, cs)
 
     from lightly_ocr_spark.plans.session import build_session

@@ -655,7 +655,8 @@ def incremental_near_dedup(
     k: int = MINHASH_K, bands: int = MINHASH_BANDS, ngram: int = 3,
     min_agreement: float = 0.5, commit: bool = True,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
+    with_sigs: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dedup a NEW crawl batch against the persisted minhash index,
     then (commit=True) append the survivors' signatures so the next batch
     sees them — the MinHash-LSH twin of `incremental_exact_dedup`, and
@@ -681,9 +682,13 @@ def incremental_near_dedup(
          agreement and drops in step 3, so the recomputed survivor set is
          empty and the append is a no-op).
 
-    Returns surviving rows with all input columns.  Dropped near-dups'
-    signatures are NOT indexed — each cluster is represented by its
-    keeper, exactly like the batch curation pipeline."""
+    Returns surviving rows with all input columns (already materialized —
+    safe to act on after any later index write); `with_sigs=True` also
+    returns the survivors' signature frame, so callers that gate the
+    append themselves (crawl_job) never recompute the signature
+    aggregation.  Dropped near-dups' signatures are NOT indexed — each
+    cluster is represented by its keeper, exactly like the batch curation
+    pipeline."""
     from pyspark import StorageLevel
 
     batch = new_batch.withColumnRenamed(id_col, "doc_id") \
@@ -753,17 +758,24 @@ def incremental_near_dedup(
         survivors = survivors.join(cross_drops, "doc_id", "left_anti")
     survivors = survivors.join(intra_drops, "doc_id", "left_anti")
 
+    # materialize BEFORE any append and before releasing the signature
+    # cache: (a) the survivor plan reads index_path, and Spark recaches
+    # plans whose source path is written (a commit would silently
+    # re-evaluate the returned frame against the post-append index where
+    # every survivor self-matches — the round-3 incremental_exact_dedup
+    # lesson); (b) the caller's first action would otherwise re-run the
+    # whole signature aggregation after sig_b is unpersisted below.
+    survivors = survivors.localCheckpoint(eager=True)
+    survivor_sigs = (
+        sig_rem.join(intra_drops, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     if commit:
-        # freeze the surviving signatures BEFORE appending: the sig_rem
-        # plan reads index_path (recache hazard — same as the exact index)
-        out_sigs = (
-            sig_rem.join(intra_drops, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        write_minhash_index(out_sigs, index_path, mode="append",
+        write_minhash_index(survivor_sigs, index_path, mode="append",
                             k=k, bands=bands)
     sig_b.unpersist()
-    out = survivors
     if id_col != "doc_id":
-        out = out.withColumnRenamed("doc_id", id_col)
-    return out
+        survivors = survivors.withColumnRenamed("doc_id", id_col)
+    if with_sigs:
+        return survivors, survivor_sigs
+    return survivors

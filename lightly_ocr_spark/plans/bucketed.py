@@ -135,12 +135,22 @@ def salted_join(
     while sc in left.columns or sc in right.columns:
         sc += "_"
     # content columns for the salt hash: every non-key column xxhash64
-    # accepts (maps are not hashable — excluded; key-only fallback if the
-    # frame is nothing but the key)
+    # accepts (maps are not hashable even when NESTED inside arrays or
+    # structs — excluded by substring, not prefix)
     content = [
         c for c, t in left.dtypes
-        if c != key and not t.startswith("map<")
+        if c != key and "map<" not in t
     ]
+    if not content:
+        # with nothing but the key to hash, every row of a hot key lands
+        # in ONE salt bucket: the operator would silently do nothing while
+        # still paying the x`salt` right-side replication — refuse loudly
+        raise ValueError(
+            "salted_join: left frame has no non-key, non-map column to "
+            "derive a deterministic salt from — every hot-key row would "
+            "share one bucket.  Add a distinguishing column (row id, "
+            "timestamp, payload) or rely on AQE skew-join instead"
+        )
     lt = left.withColumn(sc, salt_expr(key, salt, *content))
     rt = right.withColumn(
         sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -278,8 +278,10 @@ class TestCrawlStream:
             make_warc(recs2, gzip_members=True))
         s2 = run_crawl_stream(spark, str(wdir), out, idx, ckpt,
                               max_files_per_trigger=1)
-        assert s2["batches"] == 2
-        assert s2["rows_written"] == 7  # 5 + 2 novel
+        # per-INVOCATION summary: only the one new epoch this run
+        # processed, not drop 1's committed epoch
+        assert s2["batches"] == 1
+        assert s2["rows_written"] == 2  # the 2 novel docs
 
         stream_texts = {
             r["text"]
