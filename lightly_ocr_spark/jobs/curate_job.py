@@ -143,7 +143,9 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                nb_model_path: str | None = None,
                nb_drop: str | None = None,
                pii: bool = False,
-               chunk: tuple[int, int] | None = None) -> dict:
+               chunk: tuple[int, int] | None = None,
+               min_fluency: float | None = None,
+               shuffle_seed: int | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -258,6 +260,23 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         curated = curated.filter(
             F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_rep
         )
+    if min_fluency is not None:
+        # char-bigram LM gate on the enrichment column the pipeline
+        # already computed (one Arrow crossing, no extra pass).  The
+        # frozen profile models ENGLISH bigrams, so the threshold applies
+        # only to docs language-ID'd as 'en' — or 'und', which is exactly
+        # the junk target: text we can neither identify as a language nor
+        # score as fluent (keyboard mash, mojibake, binary spew).
+        # Recognized non-English text passes ungated rather than being
+        # judged against a foreign bigram table.  NULLs gate (un-scorable
+        # = un-vouchable).  English prose measures ≥ -6.2 on this
+        # profile; gibberish ≈ -9; -7 is the documented starting point.
+        lang = F.coalesce(F.col("lang_pred"), F.lit("und"))
+        curated = curated.filter(
+            (~lang.isin("en", "und"))
+            | (F.coalesce(F.col("bigram_logp"), F.lit(-999.0))
+               >= min_fluency)
+        )
     obs_nb = None
     if nb_model_path is not None:
         # model-based quality gate (the fastText slot of a curation
@@ -334,7 +353,23 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             spark.read.parquet(os.path.join(out_dir, "data"))
             .select("url", "text"),
             id_col="url", window=cw, stride=cs,
-        ).observe(obs_chunks, F.count(F.lit(1)).alias("n"))
+        )
+        if shuffle_seed is not None:
+            # deterministic global shuffle of the training shards: order
+            # by a seeded content hash — consecutive chunks of one
+            # document scatter across the output instead of training in
+            # document order.  A global orderBy = range partition + sort,
+            # the standard shard-shuffle plan; seeded, so re-runs produce
+            # byte-identical shard content.
+            chunks = chunks.orderBy(
+                F.xxhash64(
+                    F.concat_ws("#", "url", F.col("chunk_idx").cast("string")),
+                    F.lit(shuffle_seed),
+                )
+            )
+        chunks = chunks.observe(
+            obs_chunks, F.count(F.lit(1)).alias("n")
+        )
         chunks.write.mode("overwrite").parquet(
             os.path.join(out_dir, "chunks")
         )
@@ -361,9 +396,13 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             manifest["nb_dropped"] = int(obs_nb.get["dropped"] or 0)
     if pii:
         manifest["pii"] = True
+    if min_fluency is not None:
+        manifest["min_fluency"] = min_fluency
     if n_chunks is not None:
         manifest["chunk_window"], manifest["chunk_stride"] = chunk
         manifest["n_chunks"] = n_chunks
+        if shuffle_seed is not None:
+            manifest["shuffle_seed"] = shuffle_seed
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     uniq.unpersist()
@@ -407,6 +446,12 @@ def main() -> None:
     ap.add_argument("--chunk", default=None, metavar="W,S",
                     help="also write chunks/: token windows of size W "
                     "with stride S over the curated text")
+    ap.add_argument("--min-fluency", type=float, default=None,
+                    help="drop docs whose char-bigram log-prob (enrichment "
+                    "column) is below this; gibberish filter, opt-in")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="deterministically shuffle the chunks/ output by "
+                    "a seeded content hash (training-shard order)")
     args = ap.parse_args()
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
@@ -429,7 +474,9 @@ def main() -> None:
                    checkpoint_dir=args.checkpoint_dir,
                    media_path=args.media,
                    nb_model_path=args.nb_model, nb_drop=args.nb_drop,
-                   pii=args.pii, chunk=chunk)
+                   pii=args.pii, chunk=chunk,
+                   min_fluency=args.min_fluency,
+                   shuffle_seed=args.shuffle_seed)
     ))
 
 

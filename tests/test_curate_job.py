@@ -319,3 +319,62 @@ class TestNbModelGate:
         n = data.count()
         assert n > 1000
         assert data.filter(F.col("nb_label") == "good").count() >= int(0.9 * n)
+
+
+class TestFluencyGateAndShardShuffle:
+    def test_gibberish_dropped_and_chunks_deterministically_shuffled(
+        self, spark, pages_dir, tmp_path
+    ):
+        """--min-fluency drops a planted gibberish page via the enrichment
+        char-bigram LM column; --shuffle-seed makes the chunks/ output a
+        deterministic global shuffle (same seed -> identical shard
+        contents, document order broken up)."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.operators.fluency import bigram_logp
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        gibberish = ("qzx jkq vwpf zzkj qqgx wkzv pjqx zxqk vqjz kxwq "
+                     "zqvk xjqw qkzp wqxz jzqk xqwv")
+        assert bigram_logp(gibberish) < -7.0  # sanity: scores as garbage
+        planted = spark.createDataFrame(
+            [("https://gib.example/a", None,
+              f"<p>{gibberish}</p>".encode(), "", "en")],
+            PAGES_SCHEMA,
+        )
+        pdir = str(tmp_path / "pages_gib")
+        base.unionByName(planted).write.mode("overwrite").parquet(pdir)
+
+        out1 = str(tmp_path / "curated_f1")
+        m = run_curate(spark, pdir, out1, min_fluency=-7.0,
+                       chunk=(16, 12), shuffle_seed=42)
+        assert m["min_fluency"] == -7.0 and m["shuffle_seed"] == 42
+        data = spark.read.parquet(os.path.join(out1, "data"))
+        assert data.filter(
+            F.col("url") == "https://gib.example/a").count() == 0
+        assert data.count() > 1000  # normal prose passes the gate
+
+        # determinism: a second run with the same seed produces the same
+        # chunk sequence per shard file
+        out2 = str(tmp_path / "curated_f2")
+        run_curate(spark, pdir, out2, min_fluency=-7.0,
+                   chunk=(16, 12), shuffle_seed=42)
+
+        import glob as g
+
+        def shard_rows(out):
+            rows = {}
+            for p in sorted(g.glob(os.path.join(out, "chunks", "part-*"))):
+                key = os.path.basename(p).split("-")[1]
+                rows[key] = [
+                    (r["url"], r["chunk_idx"])
+                    for r in spark.read.parquet(p).collect()
+                ]
+            return rows
+
+        assert shard_rows(out1) == shard_rows(out2)
+        # the shuffle really breaks document order: consecutive chunks of
+        # one doc are no longer adjacent in shard order
+        flat = [u for part in shard_rows(out1).values() for u, _ in part]
+        runs = sum(1 for a, b in zip(flat, flat[1:]) if a == b)
+        assert runs < len(flat) * 0.5, "chunks still in document order"

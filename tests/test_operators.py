@@ -1220,3 +1220,72 @@ class TestIncrementalNearDedup:
         with pytest.raises(Exception) as ei:
             incremental_near_dedup(spark, b, str(idx), commit=False).count()
         assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+class TestNearIndexInvariant:
+    def test_indexed_survivors_are_pairwise_non_near_dup(
+        self, spark, tmp_path
+    ):
+        """Self-consistency property over random batch sequences: after
+        any sequence of incremental batches, the persisted index may
+        contain NO pair of signatures agreeing >= the threshold — i.e.
+        the index is always an antichain under the near-dup relation.
+        (This is the invariant that makes 'drop on any index match'
+        correct regardless of how content is split into batches.)"""
+        import random
+
+        from lightly_ocr_spark.operators.dedup import (
+            MINHASH_K,
+            band_candidate_pairs,
+            incremental_near_dedup,
+        )
+
+        rng = random.Random(77)
+        families = []
+        for f in range(6):
+            base = " ".join(
+                f"fam{f}tok{j} word{f}x{j}" for j in range(25)
+            )
+            # each family: a base + two mutations (near-dups of base)
+            families.append([
+                base,
+                base + f" tail{f}a",
+                base.replace(f"fam{f}tok3", f"swap{f}"),
+            ])
+        docs = [(100 * f + v, t)
+                for f, fam in enumerate(families) for v, t in enumerate(fam)]
+        rng.shuffle(docs)
+        # random batch split: 3 uneven batches
+        cuts = sorted(rng.sample(range(1, len(docs)), 2))
+        batches = [docs[:cuts[0]], docs[cuts[0]:cuts[1]], docs[cuts[1]:]]
+
+        idx = str(tmp_path / "inv_index")
+        survivors = []
+        for b in batches:
+            s = incremental_near_dedup(
+                spark,
+                spark.createDataFrame(b, "doc_id long, text string"),
+                idx,
+            )
+            survivors += [r["doc_id"] for r in s.collect()]
+
+        # at most one survivor per family ever admitted
+        fams = [d // 100 for d in survivors]
+        assert len(fams) == len(set(fams)), survivors
+
+        # the antichain property, checked over the PERSISTED index itself
+        sigs = spark.read.parquet(f"{idx}/sigs")
+        assert sorted(r["doc_id"] for r in
+                      sigs.select("doc_id").collect()) == sorted(survivors)
+        pairs = band_candidate_pairs(sigs)
+        agree = sum(
+            (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
+            for i in range(MINHASH_K)
+        )
+        violating = (
+            pairs.join(sigs.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+            .join(sigs.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+            .filter(agree >= int(0.5 * MINHASH_K))
+            .count()
+        )
+        assert violating == 0
