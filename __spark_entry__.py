@@ -57,8 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embedding_neardup": similarity.embedding_neardup_pairs,
         # scans / filters / projections (S5, F1-F7)
         "f1_length_filter": R.f1_length_filter,
-        "f2_charset_predicate": R.f2_charset_predicate,
-        "f3_charset_scrub": R.f3_charset_scrub,
+        "f2_f3_charset_filter_scrub": R.f2_f3_charset_filter_scrub,
         "f4_confidence_threshold": R.f4_confidence_threshold,
         "f7_validity_filter": R.f7_validity_filter,
         "s5_scan_projection": R.s5_scan_projection,
@@ -108,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row now, freeing window slots for these four oracled
         # operators (round-3 judge: locally-green but driver-evidence-less)
         "dd_line_dedup": dedup.line_dedup,
+        "dd_passage_dedup": dedup.passage_dedup,
         "ml_nb_langid": classify.ml_nb_langid,
         "ta_chunking": textstats.chunking,
         "ta_pii_scrub": textstats.pii_scrub,
@@ -130,12 +130,9 @@ def oracle_sql() -> dict[str, str]:
     ql["f1_length_filter"] = (
         "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars <= 250"
     )
-    ql["f2_charset_predicate"] = (
-        "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '[^a-z ]')"
-    )
-    ql["f3_charset_scrub"] = (
-        "SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS scrubbed "
-        "FROM documents"
+    ql["f2_f3_charset_filter_scrub"] = (
+        "SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS scrubbed"
+        " FROM documents WHERE NOT regexp_matches(text, '[^a-z ]')"
     )
     ql["f4_confidence_threshold"] = (
         "SELECT event_id, user_id, value FROM events WHERE value > 0.7"
@@ -441,6 +438,26 @@ def oracle_sql() -> dict[str, str]:
     # engines (same discipline as the other float-bearing oracles)
     _nbw = ("list_filter(string_split_regex(lower(text), '\\s+'), "
             "x -> length(x) > 0)")
+    ql["dd_passage_dedup"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        "'\\s+'), x -> len(x) > 0) AS w FROM documents), "
+        "g AS (SELECT doc_id, u.p AS pos, "
+        "md5(array_to_string(w[u.p + 1 : u.p + 8], ' ')) AS gh "
+        "FROM w, unnest(list_transform(generate_series(0, len(w) - 8), "
+        "p -> {'p': p})) AS t(u) WHERE len(w) >= 8), "
+        "common AS (SELECT gh FROM g GROUP BY gh "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "covered AS (SELECT DISTINCT g.doc_id, c.cp FROM g "
+        "JOIN common USING (gh), "
+        "unnest(generate_series(g.pos, g.pos + 7)) AS c(cp)), "
+        "cov AS (SELECT doc_id, list(cp) AS cps FROM covered "
+        "GROUP BY doc_id) "
+        "SELECT w.doc_id, coalesce(array_to_string(list_filter(w.w, "
+        "(x, i) -> cov.cps IS NULL OR NOT list_contains(cov.cps, i - 1)), "
+        "' '), '') "  # DuckDB array_to_string([]) is NULL; Spark's is ''
+        "AS cleaned, CAST(coalesce(len(cov.cps), 0) AS BIGINT) "
+        "AS n_removed_tokens FROM w LEFT JOIN cov USING (doc_id)"
+    )
     ql["ml_nb_langid"] = (
         "WITH toks AS (SELECT lang AS label, unnest(" + _nbw + ") AS word "
         "FROM documents), "

@@ -779,3 +779,81 @@ def incremental_near_dedup(
     if with_sigs:
         return survivors, survivor_sigs
     return survivors
+
+
+def passage_dedup_docs(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 8, min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-PASSAGE removal (the positional generalization of
+    line-level dedup, after Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): any n-token span whose n-gram occurs
+    in >= `min_docs` DISTINCT documents is cut from every document, and
+    the surviving tokens are reassembled in order.  Line dedup only
+    catches chrome that happens to be line-aligned; this catches shared
+    boilerplate sentences and license blocks at ANY position.
+
+    Plan, all JVM (one explode per token-gram, two shuffles on uniform
+    16-byte md5 keys — never passage text):
+      1. (doc, pos, md5(n-gram)) via transform+slice, one posexplode;
+      2. gram document frequency -> the common set (HAVING df >= min_docs);
+      3. equi-join occurrences with the common set; each hit covers
+         positions [pos, pos+n) — one sequence explode, distinct;
+      4. per-doc covered-position set -> index-aware `filter` rebuild
+         (lambda (tok, i)) and a single concat_ws.
+
+    Tokens are case-SENSITIVE (passages must match byte-wise, matching
+    the exact-dedup philosophy); docs with < n tokens pass unchanged; a
+    fully-covered doc yields an empty string (caller gates).  Output:
+    (id, cleaned, n_removed_tokens)."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    w = d.select(F.col(id_col), words.alias("w"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("w") - n),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("w"), p + 1, n))),
+    )
+    g = (
+        w.filter(F.size("w") >= n)
+        .select(id_col, F.posexplode(gram).alias("pos", "gh"))
+    )
+    common = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        g.join(common, "gh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy(id_col).agg(F.collect_set("cp").alias("cps"))
+    keep = F.filter(
+        F.col("w"),
+        lambda x, i: F.col("cps").isNull() | ~F.array_contains("cps", i),
+    )
+    return (
+        w.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", keep).alias("cleaned"),
+            F.coalesce(F.size("cps"), F.lit(0)).cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
+def passage_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: remove cross-document duplicate 8-gram passages over
+    the documents table.  The synthetic corpus shares templated sentences
+    across documents, so real passages are removed.  Fully DuckDB-oracled
+    (md5 grams are portable; positional math is exact integers)."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return passage_dedup_docs(d)

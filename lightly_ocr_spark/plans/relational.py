@@ -49,6 +49,22 @@ def f3_charset_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def f2_f3_charset_filter_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 + F3 in one plan: the charset row filter (dataset.py:151-154)
+    gates the scan and the charset projection scrub (dataset.py:190-191)
+    rides the same projection — one scan, both operators evidenced by one
+    driver row.  The standalone `f2_charset_predicate` /
+    `f3_charset_scrub` remain as library surface."""
+    return (
+        load(spark, sf, "documents")
+        .filter(~F.col("text").rlike("[^a-z ]"))
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[aeiou]", "").alias("scrubbed"),
+        )
+    )
+
+
 def f4_confidence_threshold(spark: SparkSession, sf: str) -> DataFrame:
     """F4: score threshold keep > 0.7 (pipeline.py:106-112)."""
     return (

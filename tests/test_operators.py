@@ -1289,3 +1289,66 @@ class TestNearIndexInvariant:
             .count()
         )
         assert violating == 0
+
+
+class TestPassageDedup:
+    def test_shared_passages_removed_at_any_position(self, spark):
+        """An 8-gram shared by >= min_docs docs is cut wherever it occurs
+        — mid-doc, doc-start, doc-end — and unique text survives with
+        order preserved."""
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        shared = "one two three four five six seven eight"
+        d = spark.createDataFrame([
+            (0, f"{shared} unique0 end0"),
+            (1, f"head1 start1 {shared}"),
+            (2, f"pre2 {shared} post2"),
+            (3, "no overlap with anything here at all whatsoever ok"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+               for r in passage_dedup_docs(d).collect()}
+        assert got[0] == ("unique0 end0", 8)
+        assert got[1] == ("head1 start1", 8)
+        assert got[2] == ("pre2 post2", 8)
+        assert got[3] == ("no overlap with anything here at all whatsoever "
+                          "ok", 0)
+
+    def test_overlapping_occurrences_union_coverage(self, spark):
+        """Two overlapping common 8-grams in one doc cover the UNION of
+        their spans (9 tokens), not double-count."""
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        nine = "a b c d e f g h i"  # grams: a..h and b..i
+        d = spark.createDataFrame([
+            (0, f"{nine} tail0"),
+            (1, f"{nine} tail1"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+               for r in passage_dedup_docs(d).collect()}
+        assert got[0] == ("tail0", 9)
+        assert got[1] == ("tail1", 9)
+
+    def test_case_sensitive_and_short_docs_unchanged(self, spark):
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        shared = "one two three four five six seven eight"
+        d = spark.createDataFrame([
+            (0, f"{shared} x"),
+            (1, f"{shared.upper()} y"),  # different bytes: NOT a dup
+            (2, "tiny"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+               for r in passage_dedup_docs(d).collect()}
+        assert got[0][1] == 0 and got[1][1] == 0
+        assert got[2] == ("tiny", 0)
+
+    def test_fully_covered_doc_yields_empty_string(self, spark):
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        t = "p q r s t u v w"
+        d = spark.createDataFrame(
+            [(0, t), (1, t)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+               for r in passage_dedup_docs(d).collect()}
+        assert got[0] == ("", 8) and got[1] == ("", 8)
