@@ -145,7 +145,8 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                pii: bool = False,
                chunk: tuple[int, int] | None = None,
                min_fluency: float | None = None,
-               shuffle_seed: int | None = None) -> dict:
+               shuffle_seed: int | None = None,
+               passage_dedup: tuple[int, int] | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
     re-reads of the output (round-1 judge finding: cache+count of the full
@@ -216,6 +217,32 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         uniq.select("url", "text"), checkpoint_dir=checkpoint_dir
     )
     deduped = uniq.join(drops, "url", "left_anti")
+
+    if passage_dedup is not None:
+        # duplicate-PASSAGE removal after whole-doc dedup: shared
+        # boilerplate sentences surviving near-dedup (different docs,
+        # same license block / nav sentence) are cut at every position
+        # and the text column rewritten.  The rejoin re-evaluates only
+        # the cached `uniq` anti-join, not the near-dup subtree (comp is
+        # checkpointed inside near_dup_drops).
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        pn, pmin = passage_dedup
+        cleaned = passage_dedup_docs(
+            deduped.select("url", "text"), id_col="url",
+            n=pn, min_docs=pmin,
+        )
+        deduped = (
+            deduped.drop("text")
+            .join(
+                cleaned.select(
+                    "url",
+                    F.col("cleaned").alias("text"),
+                    F.col("n_removed_tokens").alias("n_passage_tokens_cut"),
+                ),
+                "url",
+            )
+        )
 
     if host_cap is not None:
         # per-host flood guard: keep the first `host_cap` docs per host
@@ -398,6 +425,9 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         manifest["pii"] = True
     if min_fluency is not None:
         manifest["min_fluency"] = min_fluency
+    if passage_dedup is not None:
+        manifest["passage_ngram"], manifest["passage_min_docs"] = \
+            passage_dedup
     if n_chunks is not None:
         manifest["chunk_window"], manifest["chunk_stride"] = chunk
         manifest["n_chunks"] = n_chunks
@@ -452,9 +482,23 @@ def main() -> None:
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="deterministically shuffle the chunks/ output by "
                     "a seeded content hash (training-shard order)")
+    ap.add_argument("--passage-dedup", default=None, metavar="N,MIN",
+                    help="cut every N-token passage occurring in >= MIN "
+                    "distinct docs (cross-doc boilerplate sentences) and "
+                    "rewrite the text column")
     args = ap.parse_args()
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
+    pdd = None
+    if args.passage_dedup:
+        try:
+            pn, pmin = (int(x) for x in args.passage_dedup.split(","))
+        except ValueError:
+            ap.error("--passage-dedup expects N,MIN (two integers)")
+        if pn < 2 or pmin < 2:
+            ap.error(f"--passage-dedup needs N >= 2 and MIN >= 2, "
+                     f"got {args.passage_dedup}")
+        pdd = (pn, pmin)
     chunk = None
     if args.chunk:
         try:
@@ -476,7 +520,8 @@ def main() -> None:
                    nb_model_path=args.nb_model, nb_drop=args.nb_drop,
                    pii=args.pii, chunk=chunk,
                    min_fluency=args.min_fluency,
-                   shuffle_seed=args.shuffle_seed)
+                   shuffle_seed=args.shuffle_seed,
+                   passage_dedup=pdd)
     ))
 
 

@@ -378,3 +378,42 @@ class TestFluencyGateAndShardShuffle:
         flat = [u for part in shard_rows(out1).values() for u, _ in part]
         runs = sum(1 for a, b in zip(flat, flat[1:]) if a == b)
         assert runs < len(flat) * 0.5, "chunks still in document order"
+
+
+class TestPassageDedupLeg:
+    def test_cross_doc_boilerplate_passage_cut_from_curated_text(
+        self, spark, pages_dir, tmp_path
+    ):
+        """--passage-dedup N,MIN: a license-block sentence planted into
+        several otherwise-distinct pages is cut from every one; the docs
+        themselves survive with their unique text intact."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+        from lightly_ocr_spark.schemas import PAGES_SCHEMA
+
+        base = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        boiler = ("this content is licensed under the creative commons "
+                  "attribution license")  # 11 tokens > N=8
+        planted = spark.createDataFrame(
+            [(f"https://pp.example/{i}", None,
+              ("<p>" + " ".join(
+                  f"unique{i}word{j} own{i}tok{j}" for j in range(12)
+              ) + f" {boiler}</p>").encode(), "", "en")
+             for i in range(4)],
+            PAGES_SCHEMA,
+        )
+        pdir = str(tmp_path / "pages_passage")
+        base.unionByName(planted).write.mode("overwrite").parquet(pdir)
+
+        out = str(tmp_path / "curated_passage")
+        m = run_curate(spark, pdir, out, passage_dedup=(8, 3))
+        assert m["passage_ngram"] == 8 and m["passage_min_docs"] == 3
+
+        data = spark.read.parquet(os.path.join(out, "data"))
+        rows = data.filter(
+            F.col("url").startswith("https://pp.example/")
+        ).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert "licensed under the creative" not in r["text"]
+            assert f"unique" in r["text"]  # own text intact
+            assert r["n_passage_tokens_cut"] >= 8
