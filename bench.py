@@ -35,6 +35,7 @@ BENCH_QUERY_NAMES = [
     "dd_jaccard_words",
     "dd_line_dedup",
     "ml_nb_langid",
+    "dd_passage_dedup",
 ]
 
 

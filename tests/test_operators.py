@@ -1352,3 +1352,58 @@ class TestPassageDedup:
         got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
                for r in passage_dedup_docs(d).collect()}
         assert got[0] == ("", 8) and got[1] == ("", 8)
+
+
+class TestPassageDedupReference:
+    def test_matches_pure_python_reference_on_random_corpora(self, spark):
+        """Third independent implementation (beyond the DuckDB oracle): a
+        sequential pure-Python reference, compared on seeded random
+        corpora with planted shared passages — rules out mirrored
+        positional/boundary bugs shared by the two SQL engines' idioms."""
+        import random
+
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        def reference(docs, n=8, min_docs=2):
+            toks = {i: [w for w in t.split() if w] for i, t in docs}
+            gram_docs = {}
+            for i, w in toks.items():
+                for p in range(len(w) - n + 1):
+                    g = " ".join(w[p:p + n])
+                    gram_docs.setdefault(g, set()).add(i)
+            common = {g for g, ds in gram_docs.items()
+                      if len(ds) >= min_docs}
+            out = {}
+            for i, w in toks.items():
+                cov = set()
+                for p in range(len(w) - n + 1):
+                    if " ".join(w[p:p + n]) in common:
+                        cov.update(range(p, p + n))
+                kept = [t for j, t in enumerate(w) if j not in cov]
+                out[i] = (" ".join(kept), len(cov))
+            return out
+
+        rng = random.Random(991)
+        vocab = [f"v{i}" for i in range(30)]
+        for trial in range(4):
+            shared_a = [rng.choice(vocab) for _ in range(10)]
+            shared_b = [rng.choice(vocab) for _ in range(9)]
+            docs = []
+            for i in range(14):
+                body = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+                if i % 3 == 0:
+                    pos = rng.randrange(0, len(body) + 1)
+                    body[pos:pos] = shared_a
+                if i % 4 == 0:
+                    pos = rng.randrange(0, len(body) + 1)
+                    body[pos:pos] = shared_b
+                docs.append((i, " ".join(body)))
+            want = reference(docs)
+            got = {
+                r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+                for r in passage_dedup_docs(
+                    spark.createDataFrame(docs, "doc_id long, text string")
+                ).collect()
+            }
+            assert got == want, (trial, {k: (got[k], want[k])
+                                         for k in got if got[k] != want[k]})
