@@ -439,7 +439,8 @@ def oracle_sql() -> dict[str, str]:
     _nbw = ("list_filter(string_split_regex(lower(text), '\\s+'), "
             "x -> length(x) > 0)")
     ql["dd_passage_dedup"] = (
-        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        "WITH w AS (SELECT doc_id, text, "
+        "list_filter(string_split_regex(text, "
         "'\\s+'), x -> len(x) > 0) AS w FROM documents), "
         "g AS (SELECT doc_id, u.p AS pos, "
         "md5(array_to_string(w[u.p + 1 : u.p + 8], ' ')) AS gh "
@@ -452,9 +453,11 @@ def oracle_sql() -> dict[str, str]:
         "unnest(generate_series(g.pos, g.pos + 7)) AS c(cp)), "
         "cov AS (SELECT doc_id, list(cp) AS cps FROM covered "
         "GROUP BY doc_id) "
-        "SELECT w.doc_id, coalesce(array_to_string(list_filter(w.w, "
-        "(x, i) -> cov.cps IS NULL OR NOT list_contains(cov.cps, i - 1)), "
-        "' '), '') "  # DuckDB array_to_string([]) is NULL; Spark's is ''
+        "SELECT w.doc_id, CASE WHEN cov.cps IS NULL THEN w.text "
+        "ELSE coalesce(array_to_string(list_filter(w.w, "
+        "(x, i) -> NOT list_contains(cov.cps, i - 1)), "
+        "' '), '') END "  # untouched docs keep original bytes; DuckDB
+        # array_to_string([]) is NULL where Spark's concat_ws is ''
         "AS cleaned, CAST(coalesce(len(cov.cps), 0) AS BIGINT) "
         "AS n_removed_tokens FROM w LEFT JOIN cov USING (doc_id)"
     )

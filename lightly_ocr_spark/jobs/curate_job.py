@@ -222,11 +222,16 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         # duplicate-PASSAGE removal after whole-doc dedup: shared
         # boilerplate sentences surviving near-dedup (different docs,
         # same license block / nav sentence) are cut at every position
-        # and the text column rewritten.  The rejoin re-evaluates only
-        # the cached `uniq` anti-join, not the near-dup subtree (comp is
-        # checkpointed inside near_dup_drops).
+        # and the text column rewritten.  `deduped` feeds FOUR consumers
+        # here (the gram path, the coverage path, the rebuild join, and
+        # the outer rejoin) — persist it for the leg or each consumer
+        # re-runs the uniq-cache scan + near-dup anti-join.
+        from pyspark import StorageLevel
+
         from lightly_ocr_spark.operators.dedup import passage_dedup_docs
 
+        deduped = deduped.persist(StorageLevel.DISK_ONLY)
+        passage_persisted = deduped
         pn, pmin = passage_dedup
         cleaned = passage_dedup_docs(
             deduped.select("url", "text"), id_col="url",
@@ -274,6 +279,8 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         .filter(F.col("n_tokens") >= MIN_TOKENS)
     ).persist(StorageLevel.DISK_ONLY)
     to_unpersist = [gated]
+    if passage_dedup is not None:
+        to_unpersist.append(passage_persisted)
     # langid + fluency + top-bigram repetition, ONE Arrow crossing: the
     # repetition fraction is ~free inside the enrichment pass (Counter per
     # doc), vs ~110 s per 200 k docs as its own JVM pass — same
@@ -489,6 +496,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
+    if args.shuffle_seed is not None and not args.chunk:
+        ap.error("--shuffle-seed requires --chunk (it orders the chunks/ "
+                 "output)")
     pdd = None
     if args.passage_dedup:
         try:

@@ -803,13 +803,17 @@ def passage_dedup_docs(
          (lambda (tok, i)) and a single concat_ws.
 
     Tokens are case-SENSITIVE (passages must match byte-wise, matching
-    the exact-dedup philosophy); docs with < n tokens pass unchanged; a
-    fully-covered doc yields an empty string (caller gates).  Output:
-    (id, cleaned, n_removed_tokens)."""
+    the exact-dedup philosophy); docs with NO removed passage keep their
+    original text byte-for-byte (including newlines/tabs/multi-space —
+    only docs a passage was actually cut from are reassembled
+    single-spaced); a fully-covered doc yields an empty string (caller
+    gates).  Output: (id, cleaned, n_removed_tokens)."""
     words = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
     )
-    w = d.select(F.col(id_col), words.alias("w"))
+    w = d.select(
+        F.col(id_col), F.col(text_col).alias("text"), words.alias("w")
+    )
     gram = F.transform(
         F.sequence(F.lit(0), F.size("w") - n),
         lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("w"), p + 1, n))),
@@ -832,18 +836,23 @@ def passage_dedup_docs(
                 F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("cp"),
         )
-        .distinct()
+        # no .distinct(): collect_set below deduplicates, and a distinct
+        # here would shuffle the operator's WIDEST frame a second time
     )
     cov = covered.groupBy(id_col).agg(F.collect_set("cp").alias("cps"))
     keep = F.filter(
         F.col("w"),
-        lambda x, i: F.col("cps").isNull() | ~F.array_contains("cps", i),
+        lambda x, i: ~F.array_contains("cps", i),
     )
     return (
         w.join(cov, id_col, "left")
         .select(
             id_col,
-            F.concat_ws(" ", keep).alias("cleaned"),
+            # untouched docs keep their ORIGINAL text byte-for-byte —
+            # rebuilding them through split+concat_ws would silently
+            # collapse newlines/tabs/multi-spaces corpus-wide
+            F.when(F.col("cps").isNotNull(), F.concat_ws(" ", keep))
+            .otherwise(F.col("text")).alias("cleaned"),
             F.coalesce(F.size("cps"), F.lit(0)).cast("long")
             .alias("n_removed_tokens"),
         )

@@ -1374,11 +1374,15 @@ class TestPassageDedupReference:
             common = {g for g, ds in gram_docs.items()
                       if len(ds) >= min_docs}
             out = {}
+            texts = dict(docs)
             for i, w in toks.items():
                 cov = set()
                 for p in range(len(w) - n + 1):
                     if " ".join(w[p:p + n]) in common:
                         cov.update(range(p, p + n))
+                if not cov:  # untouched docs keep original bytes
+                    out[i] = (texts[i], 0)
+                    continue
                 kept = [t for j, t in enumerate(w) if j not in cov]
                 out[i] = (" ".join(kept), len(cov))
             return out
@@ -1407,3 +1411,23 @@ class TestPassageDedupReference:
             }
             assert got == want, (trial, {k: (got[k], want[k])
                                          for k in got if got[k] != want[k]})
+
+
+class TestPassageDedupWhitespace:
+    def test_untouched_docs_keep_original_bytes(self, spark):
+        """A doc with NO removed passage must come back byte-identical —
+        newlines, tabs, and multi-spaces intact (the operator may not
+        silently re-flow the whole corpus)."""
+        from lightly_ocr_spark.operators.dedup import passage_dedup_docs
+
+        original = "para one line.\n\npara two line.\ttabbed  double"
+        shared = "one two three four five six seven eight"
+        d = spark.createDataFrame([
+            (0, original),
+            (1, f"{shared} a1"),
+            (2, f"{shared} a2"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["cleaned"], r["n_removed_tokens"])
+               for r in passage_dedup_docs(d).collect()}
+        assert got[0] == (original, 0)
+        assert got[1] == ("a1", 8) and got[2] == ("a2", 8)
