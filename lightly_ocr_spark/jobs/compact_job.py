@@ -62,7 +62,18 @@ def recover_interrupted_swap(out_dir: str) -> bool:
 def run_compact(
     spark: SparkSession, in_dir: str, out_dir: str,
     target_bytes: int = DEFAULT_TARGET_BYTES, shuffle: bool = False,
+    partition_by: list[str] | None = None,
 ) -> dict:
+    """`partition_by` compacts a HIVE-PARTITIONED dataset (e.g. the crawl
+    loop's fingerprint index, `fp_prefix=XX/` dirs that gain one small
+    file per batch append) while PRESERVING its layout: a flat rewrite
+    would mix root-level files with partition dirs and break partition
+    discovery for every later reader.  The plan hash-repartitions on the
+    partition columns (one shuffle; each partition value lands in exactly
+    one task) and writes with the same partitionBy, so every partition
+    dir collapses to one file.  `in_dir == out_dir` is supported — the
+    dataset is fully materialized into `.inprogress` before the swap
+    touches the original."""
     recover_interrupted_swap(in_dir)
     recover_interrupted_swap(out_dir)
     files = _data_files(in_dir)
@@ -72,14 +83,26 @@ def run_compact(
     n_out = max(1, -(-in_bytes // target_bytes))  # ceil
 
     df = spark.read.parquet(in_dir)
-    obs_in = Observation("compact-in")
+    obs_in = Observation(f"compact-in-{int(time.time() * 1000)}")
     df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} not in dataset "
+                f"(has {df.columns})"
+            )
+        sized = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
 
     tmp = out_dir.rstrip("/") + ".inprogress"
     shutil.rmtree(tmp, ignore_errors=True)
     t0 = time.time()
-    sized.write.mode("overwrite").parquet(tmp)
+    writer = sized.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     rows_in = int(obs_in.get["n"])
 
     # verify BEFORE the swap: the new files' parquet footers must account
@@ -109,6 +132,7 @@ def run_compact(
         "bytes_out": sum(os.path.getsize(p) for p in out_files),
         "target_bytes": target_bytes,
         "shuffle": shuffle,
+        "partition_by": partition_by,
         "wall_s": round(time.time() - t0, 3),
     }
     with open(os.path.join(out_dir, "_compaction.json"), "w") as f:
@@ -126,6 +150,10 @@ def main() -> None:
     ap.add_argument("--shuffle", action="store_true",
                     help="repartition for byte-even files (one shuffle) "
                     "instead of zero-shuffle coalesce")
+    ap.add_argument("--partition-by", default=None,
+                    help="comma-separated hive-partition columns: compact "
+                    "each partition dir to one file, layout preserved "
+                    "(e.g. fp_prefix for the crawl fingerprint index)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -135,6 +163,8 @@ def main() -> None:
     print(json.dumps(run_compact(
         spark, args.in_dir, args.out,
         target_bytes=args.target_mb << 20, shuffle=args.shuffle,
+        partition_by=(args.partition_by.split(",")
+                      if args.partition_by else None),
     )))
 
 

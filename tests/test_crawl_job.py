@@ -407,3 +407,54 @@ class TestCrawlNearIndex:
         sigs = spark.read.parquet(f"{nidx}/sigs")
         assert sigs.count() == 3
         assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+class TestIndexCompaction:
+    def test_partitioned_index_compacts_in_place_and_keeps_dedup(
+        self, spark, tmp_path
+    ):
+        """The fingerprint index gains one small file per partition dir
+        per batch append; partition-preserving compaction collapses each
+        dir to ONE file, in place, without breaking layout — and the
+        compacted index still dedups the next batch exactly."""
+        from lightly_ocr_spark.jobs.compact_job import run_compact
+
+        out = str(tmp_path / "corpus")
+        idx = str(tmp_path / "fp_index")
+        # enough docs per batch that some fp_prefix dirs are touched by
+        # more than one batch append (the fragmentation under test)
+        for b in range(3):
+            bdir = str(tmp_path / f"b{b}")
+            _write_pages(spark, bdir, [
+                _page(f"https://cmp.example/{b}/{i}", _body(f"{b}-{i}"))
+                for i in range(60)
+            ])
+            run_crawl_batch(spark, bdir, out, idx, batch_id=f"b{b}")
+
+        import glob as g
+
+        def files_per_dir():
+            dirs = g.glob(os.path.join(idx, "fp_prefix=*"))
+            return dirs, {
+                d: len(g.glob(os.path.join(d, "*.parquet"))) for d in dirs
+            }
+
+        dirs, counts = files_per_dir()
+        assert dirs and any(c > 1 for c in counts.values()), \
+            "appends did not fragment — test premise broken"
+        rows_before = spark.read.parquet(idx).count()
+
+        m = run_compact(spark, idx, idx, partition_by=["fp_prefix"])
+        assert m["rows"] == rows_before
+        dirs2, counts2 = files_per_dir()
+        assert dirs2 and all(c == 1 for c in counts2.values()), counts2
+        assert spark.read.parquet(idx).count() == rows_before
+
+        # the compacted index still drives cross-batch dedup
+        b4 = str(tmp_path / "b4")
+        _write_pages(spark, b4, [
+            _page("https://cmp.example/dup", _body("0-0")),  # dupes b0
+            _page("https://cmp.example/new", _body("novel-4")),
+        ])
+        m4 = run_crawl_batch(spark, b4, out, idx, batch_id="b4")
+        assert m4["n_unique"] == 1 and m4["rows_written"] == 1
