@@ -458,3 +458,46 @@ class TestIndexCompaction:
         ])
         m4 = run_crawl_batch(spark, b4, out, idx, batch_id="b4")
         assert m4["n_unique"] == 1 and m4["rows_written"] == 1
+
+
+class TestCrawlStreamNearIndex:
+    def test_streaming_epochs_near_dedup_mutated_copies(
+        self, spark, tmp_path
+    ):
+        """--stream + --near-index: epoch 2's byte-different mutation of
+        epoch-1 content drops via the persisted signature index inside the
+        foreachBatch path."""
+        from lightly_ocr_spark.sources.warc import make_warc
+
+        wdir = tmp_path / "warcs"
+        wdir.mkdir()
+        body = _body("stream-near") + (
+            " and a long recurring footer sentence crawlers re-emit with "
+            "tiny mutations on every fetch"
+        )
+        (wdir / "crawl-1.warc.gz").write_bytes(make_warc(
+            [("https://sn.example/1/orig",
+              f"<html><body><p>{body}</p></body></html>".encode())],
+            gzip_members=True))
+
+        out = str(tmp_path / "corpus")
+        idx = str(tmp_path / "idx")
+        nidx = str(tmp_path / "nidx")
+        ckpt = str(tmp_path / "ckpt")
+        s1 = run_crawl_stream(spark, str(wdir), out, idx, ckpt,
+                              near_index_path=nidx)
+        assert s1["rows_written"] == 1
+
+        (wdir / "crawl-2.warc.gz").write_bytes(make_warc(
+            [("https://sn.example/2/mut",
+              f"<html><body><p>{body} extra</p></body></html>".encode()),
+             ("https://sn.example/2/new",
+              ("<html><body><p>" + _body("fresh") + " wholly new words "
+               "qj1 qj2 qj3 qj4 qj5 qj6 qj7</p></body></html>").encode())],
+            gzip_members=True))
+        s2 = run_crawl_stream(spark, str(wdir), out, idx, ckpt,
+                              near_index_path=nidx)
+        assert s2["rows_written"] == 1  # only the novel doc
+        urls = _corpus_urls(spark, out)
+        assert "https://sn.example/2/mut" not in urls
+        assert "https://sn.example/2/new" in urls
