@@ -207,7 +207,7 @@ def main() -> None:
         round-3 driver artifact regressed 11.7% purely from a transient
         external load spike that three back-to-back attempts all landed
         inside."""
-        best, row, attempts = float("inf"), None, []
+        best, best_i, row, attempts = float("inf"), -1, None, []
         for i in range(max_attempts):
             st0 = steal_ticks()
             t0 = time.time()
@@ -222,14 +222,18 @@ def main() -> None:
                 "stolen_cores": round(stolen, 2),
                 "load_1m": round(os.getloadavg()[0], 2),
             })
-            improved = dt < best
-            if improved:
-                best, row = dt, r
+            if dt < best:
+                best, best_i, row = dt, i, r
             if i >= 2:
                 quiet_seen = any(
                     a["stolen_cores"] <= 1.5 for a in attempts
                 )
-                if quiet_seen and not improved:
+                # stop only once a quiet attempt exists AND the best has
+                # held for two attempts: memory-bandwidth contention from
+                # load elsewhere in the VM is invisible to the steal
+                # counter, so a single quiet-but-slow attempt must not end
+                # the search
+                if quiet_seen and i - best_i >= 2:
                     break
                 time.sleep(8.0)  # contended/improving: let the spike pass
         return row, best, attempts
