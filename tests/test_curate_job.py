@@ -417,3 +417,30 @@ class TestPassageDedupLeg:
             assert "licensed under the creative" not in r["text"]
             assert f"unique" in r["text"]  # own text intact
             assert r["n_passage_tokens_cut"] >= 8
+
+
+class TestPackLeg:
+    def test_chunks_packed_within_budget(self, spark, pages_dir, tmp_path):
+        """--pack BUDGET: the packs/ assignment covers every chunk exactly
+        once and no pack exceeds the budget (chunks here are <= 32 tokens
+        < budget, so the oversize fallback never triggers)."""
+        from lightly_ocr_spark.jobs.curate_job import run_curate
+
+        out = str(tmp_path / "curated_pack")
+        m = run_curate(spark, pages_dir, out, chunk=(32, 24),
+                       pack_budget=256)
+        assert m["pack_budget"] == 256 and m["n_packs"] > 0
+
+        chunks = spark.read.parquet(os.path.join(out, "chunks"))
+        packs = spark.read.parquet(os.path.join(out, "packs"))
+        assert packs.count() == chunks.count()
+        assert packs.select("url", "chunk_idx").distinct().count() \
+            == chunks.count()
+        over = (
+            packs.groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("t"))
+            .filter(F.col("t") > 256)
+            .count()
+        )
+        assert over == 0
+        assert m["n_packs"] < chunks.count()  # packing really combines

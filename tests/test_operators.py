@@ -1431,3 +1431,64 @@ class TestPassageDedupWhitespace:
                for r in passage_dedup_docs(d).collect()}
         assert got[0] == (original, 0)
         assert got[1] == ("a1", 8) and got[2] == ("a2", 8)
+
+
+class TestSequencePacking:
+    def _chunks(self, spark, sizes, partitions=4):
+        rows = []
+        for d, doc_sizes in enumerate(sizes):
+            for i, n in enumerate(doc_sizes):
+                rows.append((f"https://pk.example/{d:03d}", i, n))
+        return spark.createDataFrame(
+            rows, "url string, chunk_idx int, n_tokens int"
+        )
+
+    def test_packs_respect_budget_and_cover_every_chunk(self, spark):
+        from lightly_ocr_spark.operators.pack import pack_chunks
+
+        import random
+        rng = random.Random(5)
+        sizes = [[rng.randrange(10, 120) for _ in range(rng.randrange(1, 6))]
+                 for _ in range(40)]
+        chunks = self._chunks(spark, sizes)
+        packed = pack_chunks(chunks, budget=256, partitions=4).collect()
+
+        # every chunk assigned exactly once
+        keys = [(r["url"], r["chunk_idx"]) for r in packed]
+        assert len(keys) == len(set(keys)) == sum(len(s) for s in sizes)
+        # no pack exceeds the budget (no chunk here exceeds it alone)
+        totals: dict[str, int] = {}
+        for r in packed:
+            totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_tokens"]
+        assert all(t <= 256 for t in totals.values()), max(totals.values())
+        # packs actually combine chunks (not one pack per chunk)
+        assert len(totals) < len(keys)
+        # pack_seq is a clean 0..k-1 sequence within each pack
+        by_pack: dict[str, list[int]] = {}
+        for r in packed:
+            by_pack.setdefault(r["pack_id"], []).append(r["pack_seq"])
+        for seqs in by_pack.values():
+            assert sorted(seqs) == list(range(len(seqs)))
+
+    def test_oversize_chunk_gets_own_pack_never_dropped(self, spark):
+        from lightly_ocr_spark.operators.pack import pack_chunks
+
+        chunks = self._chunks(spark, [[50, 999, 50]])
+        packed = {(r["url"], r["chunk_idx"]): r["pack_id"]
+                  for r in pack_chunks(chunks, budget=128,
+                                       partitions=1).collect()}
+        assert len(packed) == 3
+        big = packed[("https://pk.example/000", 1)]
+        others = {v for k, v in packed.items() if k[1] != 1}
+        assert big not in others  # the oversize chunk packs alone
+
+    def test_deterministic_for_fixed_partitioning(self, spark):
+        from lightly_ocr_spark.operators.pack import pack_chunks
+
+        sizes = [[40, 40, 40] for _ in range(20)]
+        chunks = self._chunks(spark, sizes)
+        a = sorted(map(tuple, pack_chunks(chunks, budget=100,
+                                          partitions=3).collect()))
+        b = sorted(map(tuple, pack_chunks(
+            chunks.repartition(13), budget=100, partitions=3).collect()))
+        assert a == b  # range partitioner re-derives the same layout
