@@ -225,15 +225,14 @@ def main() -> None:
             if dt < best:
                 best, best_i, row = dt, i, r
             if i >= 2:
-                quiet_seen = any(
-                    a["stolen_cores"] <= 1.5 for a in attempts
-                )
-                # stop only once a quiet attempt exists AND the best has
-                # held for two attempts: memory-bandwidth contention from
-                # load elsewhere in the VM is invisible to the steal
-                # counter, so a single quiet-but-slow attempt must not end
-                # the search
-                if quiet_seen and i - best_i >= 2:
+                # stop only once the BEST attempt itself ran quiet AND has
+                # held for two further attempts: a quiet-but-slow attempt
+                # elsewhere in the list proves nothing about the recorded
+                # number, and memory-bandwidth contention (invisible to
+                # the steal counter) means a single quiet attempt must not
+                # end the search either
+                best_quiet = attempts[best_i]["stolen_cores"] <= 1.5
+                if best_quiet and i - best_i >= 2:
                     break
                 time.sleep(8.0)  # contended/improving: let the spike pass
         return row, best, attempts

@@ -74,6 +74,12 @@ def run_compact(
     dir collapses to one file.  `in_dir == out_dir` is supported — the
     dataset is fully materialized into `.inprogress` before the swap
     touches the original."""
+    if shuffle and partition_by:
+        raise ValueError(
+            "--shuffle and --partition-by are mutually exclusive: the "
+            "partitioned path always repartitions on the partition "
+            "columns"
+        )
     recover_interrupted_swap(in_dir)
     recover_interrupted_swap(out_dir)
     files = _data_files(in_dir)
@@ -82,7 +88,20 @@ def run_compact(
     in_bytes = sum(os.path.getsize(p) for p in files)
     n_out = max(1, -(-in_bytes // target_bytes))  # ceil
 
-    df = spark.read.parquet(in_dir)
+    if partition_by:
+        # read partition VALUES as strings, never inferred types: an
+        # all-digit dir set (fp_prefix=00, 12, 57 — realistic for a small
+        # crawl index) would otherwise infer as int and the rewrite would
+        # emit fp_prefix=0, forking dirs against later string appends
+        infer_key = "spark.sql.sources.partitionColumnTypeInference"
+        old_infer = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            df = spark.read.parquet(in_dir)
+        finally:
+            spark.conf.set(infer_key, old_infer)
+    else:
+        df = spark.read.parquet(in_dir)
     obs_in = Observation(f"compact-in-{int(time.time() * 1000)}")
     df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
     if partition_by:
@@ -130,8 +149,10 @@ def run_compact(
         "files_out": len(out_files),
         "bytes_in": in_bytes,
         "bytes_out": sum(os.path.getsize(p) for p in out_files),
-        "target_bytes": target_bytes,
-        "shuffle": shuffle,
+        # effective plan only: the partitioned path is governed by the
+        # partition columns, not by target size / shuffle flags
+        "target_bytes": None if partition_by else target_bytes,
+        "shuffle": None if partition_by else shuffle,
         "partition_by": partition_by,
         "wall_s": round(time.time() - t0, 3),
     }

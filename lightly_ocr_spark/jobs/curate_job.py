@@ -163,6 +163,8 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         raise ValueError(
             f"need 0 < stride <= window, got {chunk[1]}/{chunk[0]}"
         )
+    if pack_budget is not None and pack_budget < 1:
+        raise ValueError(f"pack budget must be >= 1, got {pack_budget}")
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     obs_in = Observation("curate-input")
@@ -417,9 +419,14 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             from lightly_ocr_spark.operators.pack import pack_chunks
 
             obs_packs = Observation("curate-packs")
+            # size the packing partitions to the data: ~50k chunks per
+            # partition bounds both the per-partition tail waste on small
+            # runs (1 partition for anything under 50k) and keeps
+            # corpus-scale packing parallel
+            n_parts = max(1, min(1024, -(-n_chunks // 50_000)))
             packed = pack_chunks(
                 spark.read.parquet(os.path.join(out_dir, "chunks")),
-                budget=pack_budget,
+                budget=pack_budget, partitions=n_parts,
             ).observe(
                 obs_packs,
                 # exact pack count without DISTINCT (observe() rejects
@@ -430,7 +437,7 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             packed.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "packs")
             )
-            n_packs = int(obs_packs.get["n_packs"])
+            n_packs = int(obs_packs.get["n_packs"] or 0)
 
     manifest = {
         "input_pages": int(obs_in.get["n"]),
@@ -531,6 +538,8 @@ def main() -> None:
                  "output)")
     if args.pack is not None and not args.chunk:
         ap.error("--pack requires --chunk (it packs the chunks output)")
+    if args.pack is not None and args.pack < 1:
+        ap.error(f"--pack needs a budget >= 1, got {args.pack}")
     pdd = None
     if args.passage_dedup:
         try:

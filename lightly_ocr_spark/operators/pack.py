@@ -7,21 +7,23 @@ slots carry ~full sequences instead of padding.  Exact global bin packing
 is inherently sequential; the distributed form packs PER PARTITION —
 each partition runs an independent greedy first-fit over its chunks in
 key order, which at corpus scale wastes at most one partial pack per
-partition (negligible against millions of packs) and needs no shuffle
-beyond the deterministic range partitioning.
+partition (negligible against millions of packs, and bounded by sizing
+`partitions` to the data) and needs one hash shuffle.
 
-Plan: repartitionByRange(id) -> sortWithinPartitions(id) -> ONE
-mapInPandas pass that streams the partition's Arrow batches through a
-running (pack, tokens) accumulator — state lives across batches inside
-one partition's iterator, so memory is one batch plus two scalars.  Pack
-ids are content-derived (first member's key), never partition indices —
-stable under speculative re-execution.
+Plan: hash-repartition on url (all of a document's chunks land in one
+partition — hash partitioning is a pure function of the key, so the
+layout is FULLY deterministic for a fixed partition count, unlike
+repartitionByRange whose boundary sampling is seeded per-run) ->
+sortWithinPartitions(url, chunk_idx) -> ONE mapInPandas pass that
+streams the partition's Arrow batches through a running (pack, tokens)
+accumulator — state lives across batches inside one partition's
+iterator, so memory is one batch plus two scalars.  Pack ids are
+content-derived (first member's key), never partition indices — stable
+under speculative re-execution.
 
-Packing is partition-LAYOUT-dependent by design (documented): the same
-input with the same `partitions` count packs identically run-to-run
-(range partitioner boundaries are sampled deterministically from the
-same data); different partition counts give different — equally valid —
-packings.
+Packing is partition-COUNT-dependent by design (documented): different
+`partitions` values give different — equally valid — packings; the same
+input with the same count packs identically on every run.
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def pack_chunks(
 
     ordered = (
         chunks.select("url", "chunk_idx", "n_tokens")
-        .repartitionByRange(partitions, "url", "chunk_idx")
+        .repartition(partitions, "url")
         .sortWithinPartitions("url", "chunk_idx")
     )
     return ordered.mapInPandas(pack, schema=PACK_SCHEMA)
