@@ -8,7 +8,7 @@ BASELINE.json's metric; per-query wall times for the operator suite are in
 ``queries``.
 
 Usage: python bench.py  [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-BENCH_PAGES (corpus size, default 100000)]
+BENCH_PAGES (corpus size, default 200000)]
 """
 
 from __future__ import annotations

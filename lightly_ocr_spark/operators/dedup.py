@@ -697,7 +697,25 @@ def incremental_near_dedup(
         batch.select("doc_id", F.col(text_col).alias("text")),
         k=k, ngram=ngram,
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    need = int(min_agreement * k)
+    try:
+        return _near_dedup_core(
+            spark, batch, sig_b, index_path, id_col, k, bands, need=int(
+                min_agreement * k),
+            commit=commit, checkpoint_dir=checkpoint_dir,
+            with_sigs=with_sigs,
+        )
+    finally:
+        # release the signature cache even on failure (a raised corrupt-
+        # index read must not leak a persisted corpus-scale frame)
+        sig_b.unpersist()
+
+
+def _near_dedup_core(
+    spark, batch, sig_b, index_path, id_col, k, bands, need,
+    commit, checkpoint_dir, with_sigs,
+):
+    """Body of `incremental_near_dedup` (split out so the signature
+    cache's persist/unpersist pairs in a try/finally)."""
     agree = sum(
         (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
         for i in range(k)
@@ -773,7 +791,6 @@ def incremental_near_dedup(
     if commit:
         write_minhash_index(survivor_sigs, index_path, mode="append",
                             k=k, bands=bands)
-    sig_b.unpersist()
     if id_col != "doc_id":
         survivors = survivors.withColumnRenamed("doc_id", id_col)
     if with_sigs:
