@@ -217,3 +217,30 @@ class TestPlanShape:
         # no Filter clause matching bucket values against literals
         filters = [ln for ln in plan.splitlines() if "Filter" in ln]
         assert not any("buckets[" in ln for ln in filters), filters
+
+
+class TestIncrementalNearDedupPlanShape:
+    def test_no_cartesian_or_nested_loop_joins(self, spark, tmp_path):
+        """The incremental near-dedup plan must be equi-joins end to end
+        (bucket joins + signature verification + anti-joins) — a
+        cartesian/nested-loop anywhere means candidates stopped being
+        bucket-bounded and the 10^12-doc story is gone."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_plan_idx")
+        seed = spark.createDataFrame(
+            [(i, " ".join(f"pl{i}w{j} zz{i}x{j}" for j in range(20)))
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        incremental_near_dedup(spark, seed, idx)  # build a real index
+
+        batch = spark.createDataFrame(
+            [(100 + i, " ".join(f"nb{i}w{j} qq{i}x{j}" for j in range(20)))
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = incremental_near_dedup(spark, batch, idx, commit=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
