@@ -1492,3 +1492,42 @@ class TestSequencePacking:
         b = sorted(map(tuple, pack_chunks(
             chunks.repartition(13), budget=100, partitions=3).collect()))
         assert a == b  # range partitioner re-derives the same layout
+
+
+class TestSequencePackingProperties:
+    def test_random_budgets_and_shapes(self, spark):
+        """Seeded sweep over random corpora and budgets (including
+        budget=1, where every chunk packs alone): budget law, exact
+        coverage, and greedy order all hold."""
+        import random
+
+        from lightly_ocr_spark.operators.pack import pack_chunks
+
+        rng = random.Random(31)
+        for trial in range(5):
+            budget = rng.choice([1, 7, 64, 300])
+            rows = []
+            for d in range(rng.randrange(3, 25)):
+                for i in range(rng.randrange(1, 7)):
+                    rows.append((f"https://pr.example/{d:03d}", i,
+                                 rng.randrange(1, 90)))
+            chunks = spark.createDataFrame(
+                rows, "url string, chunk_idx int, n_tokens int"
+            )
+            packed = pack_chunks(chunks, budget=budget,
+                                 partitions=rng.choice([1, 3, 7])).collect()
+            assert sorted((r["url"], r["chunk_idx"]) for r in packed) \
+                == sorted((u, i) for u, i, _ in rows)
+            by_pack: dict[str, list] = {}
+            for r in packed:
+                by_pack.setdefault(r["pack_id"], []).append(r)
+            for members in by_pack.values():
+                total = sum(r["n_tokens"] for r in members)
+                # budget law: within budget, or a single oversize chunk
+                assert total <= budget or len(members) == 1, (
+                    trial, budget, [(r["url"], r["n_tokens"])
+                                    for r in members])
+                # greedy invariant (cross-partition-safe form): pack_seq
+                # is a clean 0..k-1 run within every pack
+                seqs = sorted(r["pack_seq"] for r in members)
+                assert seqs == list(range(len(members)))
