@@ -118,6 +118,12 @@ def process_pages_batch(
         return m
 
     t0 = time.time()
+    legs: dict[str, float] = {}
+
+    def _leg(name: str, since: float) -> float:
+        legs[name] = round(time.time() - since, 3)
+        return time.time()
+
     extracted = extract_pages(pages, keep_empty=False).select(
         "url", "warc_ts", "text", "n_blocks", "extract_sha256"
     )
@@ -139,6 +145,7 @@ def process_pages_batch(
         spark, one_per_url, index_path, id_col="url", commit=False
     ).localCheckpoint(eager=True)
     n_unique = exact_survivors.count()
+    tl = _leg("extract_exact_dedup", t0)
 
     survivors = exact_survivors
     near_sigs = None
@@ -162,6 +169,7 @@ def process_pages_batch(
             commit=False, with_sigs=True,
         )
         n_near_unique = survivors.count()
+        tl = _leg("near_dedup", tl)
 
     if os.path.exists(mpath):
         # replaying the index-append phase only: the corpus commit already
@@ -197,6 +205,7 @@ def process_pages_batch(
         )
         batch_out = os.path.join(out_dir, f"batch={batch_id}")
         gated.write.mode("overwrite").parquet(batch_out)
+        tl = _leg("corpus_write", tl)
         m = obs.get
         manifest = {
             "batch": batch_id,
@@ -222,13 +231,18 @@ def process_pages_batch(
         from lightly_ocr_spark.operators.dedup import write_minhash_index
 
         write_minhash_index(near_sigs, near_index_path, mode="append")
+        tl = _leg("near_index_append", tl)
     write_fingerprint_index(
         exact_survivors, index_path, id_col="url", text_col="text",
         mode="append",
     )
+    _leg("fp_index_append", tl)
     _atomic_json(fpath, {"batch": batch_id, "fps_appended": n_unique})
     manifest = dict(manifest)
     manifest["skipped"] = False
+    # leg walls for THIS invocation (not persisted: a replay re-times only
+    # the legs it actually ran)
+    manifest["legs"] = legs
     return manifest
 
 

@@ -574,13 +574,20 @@ def write_fingerprint_index(
     (fp = sha256(text), id), partitioned by the fingerprint's first hex
     byte (256 near-uniform partitions).  The continuous-crawl primitive:
     dedup of batch N+1 never rescans the corpus — it joins this index.
-    `mode='append'` is how a batch commits its own novel fingerprints."""
+    `mode='append'` is how a batch commits its own novel fingerprints.
+
+    The frame is hash-repartitioned on fp_prefix before the write so each
+    append lands ONE file per partition dir — without this, every writing
+    task touches all 256 dirs (~48 tasks x 256 dirs = ~12k tiny files per
+    batch) and the next batch's anti-join scan pays a growing
+    many-thousand-file listing (measured: per-batch crawl wall drifted
+    12.8 -> 18.4s over four appends; flat after)."""
     docs.select(
         F.sha2(F.col(text_col), 256).alias("fp"),
         F.col(id_col).alias("first_id"),
-    ).withColumn("fp_prefix", F.substring("fp", 1, 2)).write.mode(
-        mode
-    ).partitionBy("fp_prefix").parquet(path)
+    ).withColumn("fp_prefix", F.substring("fp", 1, 2)).repartition(
+        "fp_prefix"
+    ).write.mode(mode).partitionBy("fp_prefix").parquet(path)
 
 
 def incremental_exact_dedup(
@@ -772,6 +779,7 @@ def _near_dedup_core(
 ):
     """Body of `incremental_near_dedup` (split out so the signature
     cache's persist/unpersist pairs in a try/finally)."""
+    from pyspark import StorageLevel
     agree = sum(
         (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
         for i in range(k)
@@ -812,45 +820,59 @@ def _near_dedup_core(
             raise
         # first batch: no index yet
 
+    # cross_drops embeds the bucket + verification joins against the
+    # GROWING index, and it feeds THREE consumers (the survivor
+    # anti-join, and sig_rem's every evaluation) — eagerly checkpoint the
+    # (tiny: verified drop ids only) frame, or each consumer re-runs the
+    # index joins and per-batch wall grows with corpus size (measured:
+    # near leg 12 -> 19.5s over four 50k batches; flat ~10s after)
+    if cross_drops is not None:
+        cross_drops = cross_drops.localCheckpoint(eager=True)
     sig_rem = (
         sig_b.join(cross_drops, "doc_id", "left_anti")
         if cross_drops is not None else sig_b
     )
-    # intra-batch: candidate pairs -> verified pairs -> components
-    pairs = band_candidate_pairs(sig_rem, k, bands)
-    verified = (
-        pairs.join(
-            sig_rem.alias("sa"), F.col("id_a") == F.col("sa.doc_id")
+    # sig_rem feeds five consumers (pair self-join x2, verify join x2,
+    # survivor sigs) — persist for the duration of this call
+    sig_rem = sig_rem.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # intra-batch: candidate pairs -> verified pairs -> components
+        pairs = band_candidate_pairs(sig_rem, k, bands)
+        verified = (
+            pairs.join(
+                sig_rem.alias("sa"), F.col("id_a") == F.col("sa.doc_id")
+            )
+            .join(sig_rem.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+            .filter(agree >= need)
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .join(sig_rem.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .filter(agree >= need)
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    comp = connected_components(verified, checkpoint_dir=checkpoint_dir)
-    intra_drops = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
-    # anti-joins, not a semi-join against sig_rem: a doc with no tokens
-    # has no signature at all — it cannot near-dup anything and must
-    # SURVIVE, not silently vanish with the dropped set
-    survivors = batch
-    if cross_drops is not None:
-        survivors = survivors.join(cross_drops, "doc_id", "left_anti")
-    survivors = survivors.join(intra_drops, "doc_id", "left_anti")
+        comp = connected_components(verified, checkpoint_dir=checkpoint_dir)
+        intra_drops = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+        # anti-joins, not a semi-join against sig_rem: a doc with no tokens
+        # has no signature at all — it cannot near-dup anything and must
+        # SURVIVE, not silently vanish with the dropped set
+        survivors = batch
+        if cross_drops is not None:
+            survivors = survivors.join(cross_drops, "doc_id", "left_anti")
+        survivors = survivors.join(intra_drops, "doc_id", "left_anti")
 
-    # materialize BEFORE any append and before releasing the signature
-    # cache: (a) the survivor plan reads index_path, and Spark recaches
-    # plans whose source path is written (a commit would silently
-    # re-evaluate the returned frame against the post-append index where
-    # every survivor self-matches — the round-3 incremental_exact_dedup
-    # lesson); (b) the caller's first action would otherwise re-run the
-    # whole signature aggregation after sig_b is unpersisted below.
-    survivors = survivors.localCheckpoint(eager=True)
-    survivor_sigs = (
-        sig_rem.join(intra_drops, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
+        # materialize BEFORE any append and before releasing the signature
+        # cache: (a) the survivor plan reads index_path, and Spark recaches
+        # plans whose source path is written (a commit would silently
+        # re-evaluate the returned frame against the post-append index where
+        # every survivor self-matches — the round-3 incremental_exact_dedup
+        # lesson); (b) the caller's first action would otherwise re-run the
+        # whole signature aggregation after sig_b is unpersisted below.
+        survivors = survivors.localCheckpoint(eager=True)
+        survivor_sigs = (
+            sig_rem.join(intra_drops, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sig_rem.unpersist()
     if commit:
         write_minhash_index(survivor_sigs, index_path, mode="append",
                             k=k, bands=bands)

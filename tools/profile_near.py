@@ -60,9 +60,10 @@ def main() -> None:
         for i in range(k)
     )
 
-    for b in (0, 1):
+    for b in range(int(os.environ.get('NB','2'))):
         t = {}
-        batch = pages.filter(F.crc32("url") % 4 == b)
+        nb = int(os.environ.get("NB","2"))
+        batch = pages.filter(F.crc32("url") % nb == b)
         t0 = time.time()
         ext = extract_pages(batch, keep_empty=False).select(
             F.col("url").alias("doc_id"), "text"
