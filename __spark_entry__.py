@@ -64,8 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_ddl_roundtrip": R.s10_ddl_roundtrip,
         "f9_cdc_merge": R.f9_cdc_merge,
         "s3_text_scan": R.s3_text_scan,
-        # aggregates (A1-A7)
-        "a1_streaming_mean": R.a1_streaming_mean,
+        # aggregates (A1-A7; round-5 merge: A1+X2+json share one
+        # per-event-type aggregation, freeing two window slots for the
+        # newly-oracled ta_stratified_sample and dd_simhash below)
+        "a1_x2_json_event_stats": R.a1_x2_json_event_stats,
         "a2_exact_match_accuracy": R.a2_exact_match_accuracy,
         "a3_a4_count_sum_max": R.a3_a4_count_sum_max,
         "a5_edit_distance": R.a5_edit_distance,
@@ -80,11 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": R.u1_union_distinct,
         "tpch_q1": R.tpch_q1,
         "p1_pivot": R.p1_pivot,
-        "x2_exact_quantiles": R.x2_exact_quantiles,
         "c1_r1_grouping_sets": R.c1_r1_grouping_sets,
-        # scalar function surface (§2.7)
+        # scalar function surface (§2.7; JSON extraction rides the
+        # a1_x2_json_event_stats merge above)
         "fn_scalar_surface": R.fn_scalar_surface,
-        "fn_json_extract": R.fn_json_extract,
         # text analysis
         "ta_token_count": textstats.token_count,
         "ta_quality_score": textstats.quality_score,
@@ -111,12 +112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_nb_langid": classify.ml_nb_langid,
         "ta_chunking": textstats.chunking,
         "ta_pii_scrub": textstats.pii_scrub,
+        # round-5: both reformulated PORTABLE (hash-mod selection /
+        # md5-digit bit votes) and promoted into the oracled window
+        "ta_stratified_sample": textstats.stratified_sample,
+        "dd_simhash": dedup.simhash_md5_fingerprints,
         # --- rows-only from here down (positions 51+; engine-specific hash /
         # RNG / sketch outputs with no portable SQL — each pytest-covered).
         # If the driver's 50-row window truncates anything, it is these.
-        "ta_stratified_sample": textstats.stratified_sample,  # rows-only
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
-        "dd_simhash": dedup.simhash_fingerprints,        # rows-only
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
         # rows-only: refined centroids are float-reduction products of
         # Spark partial aggregation (not portably re-derivable in SQL);
@@ -156,9 +159,16 @@ def oracle_sql() -> dict[str, str]:
         "THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total_after "
         "FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY o_orderstatus"
     )
-    ql["a1_streaming_mean"] = (
-        "SELECT event_type, round(avg(value), 6) AS avg_value "
-        "FROM events GROUP BY event_type"
+    ql["a1_x2_json_event_stats"] = (
+        "SELECT event_type, round(avg(value), 6) AS avg_value, "
+        "round(quantile_cont(value, 0.25), 6) AS p25, "
+        "round(quantile_cont(value, 0.5), 6) AS p50, "
+        "round(quantile_cont(value, 0.75), 6) AS p75, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) "
+        "AS sum_k, "
+        "CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) "
+        "AS max_k FROM events GROUP BY event_type"
     )
     ql["a2_exact_match_accuracy"] = (
         "SELECT lang, round(avg(CASE WHEN n_chars > 200 THEN 1.0 ELSE 0.0 END)"
@@ -252,13 +262,6 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(CASE WHEN event_type = 'error' THEN value END), 6) "
         "AS error FROM events GROUP BY user_id"
     )
-    ql["x2_exact_quantiles"] = (
-        "SELECT event_type, "
-        "round(quantile_cont(value, 0.25), 6) AS p25, "
-        "round(quantile_cont(value, 0.5), 6) AS p50, "
-        "round(quantile_cont(value, 0.75), 6) AS p75 "
-        "FROM events GROUP BY event_type"
-    )
     ql["c1_r1_grouping_sets"] = (
         "SELECT o_orderpriority, o_orderstatus, "
         "CAST(grouping(o_orderpriority, o_orderstatus) AS INTEGER) AS gid, "
@@ -272,13 +275,6 @@ def oracle_sql() -> dict[str, str]:
         "concat_ws('|', lang, source) AS tagged, "
         "sha256(text) AS sha, md5(text) AS fp_md5 "
         "FROM documents WHERE doc_id < 100"
-    )
-    ql["fn_json_extract"] = (
-        "SELECT event_type, count(*) AS n, "
-        "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) "
-        "AS sum_k, "
-        "CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) "
-        "AS max_k FROM events GROUP BY event_type"
     )
     ql["ta_token_count"] = (
         "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
@@ -571,9 +567,52 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(string_split(collapsed, ' ')) >= 8 "
         "AND length(collapsed) >= 10"
     )
+    # ta_stratified_sample: deterministic hash-mod selection — DuckDB's
+    # ('0x'||hex)::BIGINT parses hex exactly like Spark's conv(hex,16,10);
+    # thresholds derive from the SAME fraction map as the engine
+    from lightly_ocr_spark.operators.textstats import STRATA_FRACTIONS
+
+    _thr = " ".join(
+        f"WHEN '{lang}' THEN {int(round(frac * 4096))}"
+        for lang, frac in STRATA_FRACTIONS.items()
+    )
+    ql["ta_stratified_sample"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE "
+        "('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 3))"
+        f"::BIGINT < CASE lang {_thr} ELSE 0 END"
+    )
+    # dd_simhash: md5-digit bit votes — every step (md5, hex-digit value,
+    # bit shifts, +-1 vote sums, hex reassembly) is exact integer math
+    # both engines compute identically
+    _digs = ", ".join(
+        f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1) AS d{j}"
+        for j in range(16)
+    )
+    _votes = ", ".join(
+        f"sum(((d{i // 4} >> {i % 4}) & 1) * 2 - 1) AS v{i}"
+        for i in range(64)
+    )
+    _hex = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(
+            f"(CASE WHEN v{4 * j + b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(4)
+        )
+        + " + 1, 1)"
+        for j in range(16)
+    )
+    ql["dd_simhash"] = (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM "
+        "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+        "AS tok FROM documents) WHERE length(tok) > 0), "
+        "m AS (SELECT doc_id, md5(tok) AS m FROM toks), "
+        f"d AS (SELECT doc_id, {_digs} FROM m), "
+        f"v AS (SELECT doc_id, {_votes} FROM d GROUP BY doc_id) "
+        f"SELECT doc_id, {_hex} AS simhash_hex FROM v"
+    )
     # rows-only (engine-specific internals, no portable SQL form):
-    #   dd_minhash_pairs, dd_simhash (xxhash64), x1_approx_aggregates
-    #   (sketches), ta_stratified_sample (RNG)
+    #   dd_minhash_pairs (xxhash64), x1_approx_aggregates (sketches),
+    #   sim_ivf_kmeans_topk (float-reduction centroids)
     ql["dd_embedding_neardup"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
         "list_sum(list_transform(list_zip(a.embedding, b.embedding), "

@@ -252,14 +252,30 @@ def main() -> None:
         "extract_synthetic": round(narrow_wall, 3),
         "extract_synthetic_salted": round(salted_wall, 3),
     }
+    # per-query timings carry the same per-attempt steal evidence as the
+    # headline: two mandatory attempts (the first pays one-off codegen
+    # JIT), plus a third when the best attempt itself ran contended — so
+    # a per-query regression dispute is decidable from the artifact alone
     qs = entrymod.queries()
+    qattempts: dict[str, list] = {}
     for name in BENCH_QUERY_NAMES:
-        best = float("inf")
-        for _ in range(2):  # warm time: first run pays one-off codegen JIT
+        attempts: list[dict] = []
+        best, best_i = float("inf"), -1
+        for i in range(3):
+            st0 = steal_ticks()
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            stolen = (steal_ticks() - st0) / 100.0 / dt
+            attempts.append(
+                {"s": round(dt, 3), "stolen_cores": round(stolen, 2)}
+            )
+            if dt < best:
+                best, best_i = dt, i
+            if i >= 1 and attempts[best_i]["stolen_cores"] <= 1.0:
+                break
         qtimes[name] = round(best, 3)
+        qattempts[name] = attempts
 
     out = {
         "metric": "extract_docs_per_sec",
@@ -282,6 +298,7 @@ def main() -> None:
             **calib,
             "narrow_attempts": narrow_attempts,
             "salted_attempts": salted_attempts,
+            "query_attempts": qattempts,
         },
     }
     print(json.dumps(out))

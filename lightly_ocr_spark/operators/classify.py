@@ -36,7 +36,7 @@ def _words(text_col: str) -> F.Column:
 
 def nb_fit(
     docs: DataFrame, label_col: str = "label", text_col: str = "text",
-    alpha: float = 1.0,
+    alpha: float = 1.0, eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit multinomial NB; returns (word_model, label_model) DataFrames.
 
@@ -91,13 +91,20 @@ def nb_fit(
                   / (F.col("tot") + F.lit(alpha * vocab))).alias("log_unseen"),
         )
     )
-    # fit is eager: materialize both model-scale outputs (|L|x|V| and |C|
-    # rows) and release the cached corpus aggregates — otherwise every
-    # nb_fit call leaks two persisted frames for the session lifetime.
-    word_model = word_model.localCheckpoint(eager=True)
-    label_model = label_model.localCheckpoint(eager=True)
-    word_counts.unpersist()
-    doc_counts.unpersist()
+    # fit is eager by default: materialize both model-scale outputs
+    # (|L|x|V| and |C| rows) and release the cached corpus aggregates —
+    # otherwise every nb_fit call leaks two persisted frames for the
+    # session lifetime (jobs that refit in a loop must not accumulate
+    # caches).  `eager=False` skips the two checkpoint barriers for
+    # ONE-SHOT fit+predict plans (the driver query): the model frames
+    # stay lazy views over the persisted aggregates, which then live
+    # until the session ends — two fewer job launches per invocation,
+    # at the cost of a model-scale cache the caller never releases.
+    if eager:
+        word_model = word_model.localCheckpoint(eager=True)
+        label_model = label_model.localCheckpoint(eager=True)
+        word_counts.unpersist()
+        doc_counts.unpersist()
     return word_model, label_model
 
 
@@ -159,7 +166,9 @@ def ml_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
     declarative plan.  Fully DuckDB-oracled (counts are exact integers;
     ln/round(6) agreed bit-exactly across engines on this fixture)."""
     d = load(spark, sf, "documents").select("doc_id", "lang", "text")
-    word_model, label_model = nb_fit(d, label_col="lang")
+    # one-shot fit+predict: lazy fit skips two checkpoint barriers (the
+    # r4 leak fix stays default for session/job callers that refit)
+    word_model, label_model = nb_fit(d, label_col="lang", eager=False)
     return nb_predict(d, word_model, label_model).select(
         "doc_id", F.col("pred_label").alias("pred_lang"), "score"
     )

@@ -293,6 +293,57 @@ def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(load(spark, sf, "documents").select("doc_id", "text"))
 
 
+def simhash_md5(df: DataFrame) -> DataFrame:
+    """64-bit SimHash with PORTABLE bit votes: per-token md5, one vote per
+    hex digit bit — (doc_id, simhash_hex) where simhash_hex[j] encodes the
+    sign votes of md5-digit j's four bits (bit b of digit j = vote of
+    token md5 digit j bit b; >0 -> 1, else 0).
+
+    Same locality semantics as `simhash` (xxhash64 bits are uniform and so
+    are md5 bits) but every step — md5, hex-digit extraction, bit shifts,
+    vote sums — is exact integer math DuckDB reproduces verbatim, so the
+    driver gate gets a full value-hash row instead of rows-only evidence.
+    The xxhash64 variant stays the engine fast path (one hash vs sixteen
+    digit extractions per token)."""
+    toks = _tokens(df).select("doc_id", F.md5("tok").alias("m"))
+    digs = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("m", j + 1, 1), 16, 10).cast("int")
+            .alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+            * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = digs.groupBy("doc_id").agg(*votes)
+    hex_digit = [
+        F.lower(F.conv(
+            sum(
+                F.when(F.col(f"v{4 * j + b}") > 0, F.lit(1 << b))
+                .otherwise(F.lit(0))
+                for b in range(4)
+            ).cast("string"),
+            10, 16,
+        ))
+        for j in range(16)
+    ]
+    return per_doc.select(
+        "doc_id", F.concat(*hex_digit).alias("simhash_hex")
+    )
+
+
+def simhash_md5_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: portable-bit SimHash over the documents table (the
+    oracled twin of `simhash_fingerprints`)."""
+    return simhash_md5(load(spark, sf, "documents").select("doc_id", "text"))
+
+
 def decontaminate(
     spark: SparkSession, sf: str, ngram: int = 13,
     bench_max_id: int = 5, corpus_min_id: int = 100,

@@ -104,17 +104,34 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+STRATA_FRACTIONS = {"en": 0.5, "fr": 0.5, "es": 0.5, "de": 0.2, "zh": 0.2}
+
+
 def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language stratified subsample (training-corpus rebalancing).
 
-    Deterministic given the seed, but engine-specific (Bernoulli draws from
-    Spark's RNG stream) — rows-only in the driver gate; the pytest property
-    check bounds per-stratum fractions."""
+    Selection is a deterministic content-keyed Bernoulli: keep a row when
+    the 12-bit bucket conv(md5(lang:doc_id)[:3], 16, 10) falls below
+    round(frac * 4096).  No RNG stream — the sample is a pure row-local
+    expression, identical on any cluster size / partitioning / replay
+    (what an incremental pipeline actually wants: re-sampling the same
+    corpus yields the same rows), and portable, so the driver gate gets a
+    full value-hash row.  DuckDB's ('0x'||hex)::BIGINT parses hex exactly
+    like Spark's conv(hex, 16, 10) (verified).  A stratum absent from the
+    fraction map is dropped, matching sampleBy semantics."""
     d = load(spark, sf, "documents")
-    fractions = {"en": 0.5, "fr": 0.5, "es": 0.5, "de": 0.2, "zh": 0.2}
-    return d.sampleBy("lang", fractions, seed=4420).select(
-        "doc_id", "lang", "n_chars"
-    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))),
+            1, 3,
+        ),
+        16, 10,
+    ).cast("int")
+    thr = F.lit(0)
+    for lang, frac in STRATA_FRACTIONS.items():
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(int(round(frac * 4096)))).otherwise(thr)
+    return d.filter(bucket < thr).select("doc_id", "lang", "n_chars")
 
 
 def per_host_cap(spark: SparkSession, sf: str, cap: int = 3,

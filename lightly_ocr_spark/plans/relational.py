@@ -95,6 +95,31 @@ def a1_streaming_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def a1_x2_json_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 streaming mean + X2 exact quantiles + §2.7 JSON extraction in ONE
+    per-event-type aggregation (round-5 window merge, same discipline as
+    round 4's A3+A4): each original operator keeps its own output columns
+    — avg_value (A1), p25/p50/p75 (X2, Spark `percentile` == DuckDB
+    `quantile_cont` linear interpolation), n/sum_k/max_k (from_json over
+    the props payload) — while sharing one shuffle on event_type.  The
+    standalone query functions remain for direct use."""
+    e = load(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
 def a2_exact_match_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     """A2: exact-match accuracy style metric (train/crnn.py:222-235)."""
     return (
