@@ -55,6 +55,16 @@ redelivery a no-op — exactly-once end to end.
 Batches are SEQUENTIAL by design: the index is a serial admission log
 (batch N+1's anti-join must see batch N's append).  Parallelism lives
 inside each batch, not across batches.
+
+Index maintenance cadence: every append lands one file per touched
+partition dir (fp_prefix=XX/ for the exact index; band=B/bh_prefix=P/
+for the near index's buckets/, plus a flat file set in sigs/), so after
+~50-100 batches run `compact_job` between batches — `--partition-by
+fp_prefix` on the exact index, `--partition-by band,bh_prefix` on
+buckets/ and a flat compaction on sigs/.  In-place compaction preserves
+layout and dedup results exactly (tested: probe survivors identical
+before/after), and the crash-safe swap means a batch can always follow
+a compaction, never run concurrently with one.
 """
 
 from __future__ import annotations

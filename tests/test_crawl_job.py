@@ -460,6 +460,74 @@ class TestIndexCompaction:
         assert m4["n_unique"] == 1 and m4["rows_written"] == 1
 
 
+class TestNearIndexCompaction:
+    def test_near_index_compacts_in_place_probe_identical(
+        self, spark, tmp_path
+    ):
+        """The near-dup index's buckets/ dataset gains one file per
+        touched (band, bh_prefix) dir per batch append (sigs/ one batch's
+        worth of files per append).  Partition-preserving compaction of
+        buckets/ plus flat compaction of sigs/ collapses the fragmentation
+        in place — and an incremental_near_dedup probe returns EXACTLY the
+        same survivors before and after."""
+        import glob as g
+
+        from lightly_ocr_spark.jobs.compact_job import run_compact
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        nidx = str(tmp_path / "mh_index")
+        base = {}
+        for b in range(3):
+            rows = []
+            for i in range(20):
+                text = " ".join(
+                    f"batch{b}doc{i}tok{j} vocab{b}x{i}y{j}"
+                    for j in range(25)
+                )
+                rows.append((f"d{b}-{i}", text))
+                base[f"d{b}-{i}"] = text
+            df = spark.createDataFrame(rows, "doc_id string, text string")
+            incremental_near_dedup(spark, df, nidx, commit=True)
+
+        def probe():
+            pdf = spark.createDataFrame(
+                [
+                    # byte-different near-copy of an indexed doc
+                    ("p-mut", base["d0-3"] + " extra"),
+                    ("p-new", " ".join(
+                        f"novelprobe{j} fresh{j}stuff" for j in range(25)
+                    )),
+                ],
+                "doc_id string, text string",
+            )
+            out = incremental_near_dedup(spark, pdf, nidx, commit=False)
+            return sorted(r["doc_id"] for r in out.collect())
+
+        before = probe()
+        assert before == ["p-new"], before  # mutation caught, novel kept
+
+        def files_per_dir(root):
+            dirs = g.glob(os.path.join(root, "band=*", "bh_prefix=*"))
+            return {
+                d: len(g.glob(os.path.join(d, "*.parquet"))) for d in dirs
+            }
+
+        counts = files_per_dir(f"{nidx}/buckets")
+        assert counts and any(c > 1 for c in counts.values()), \
+            "appends did not fragment — test premise broken"
+        rows_b = spark.read.parquet(f"{nidx}/buckets").count()
+        rows_s = spark.read.parquet(f"{nidx}/sigs").count()
+
+        mb = run_compact(spark, f"{nidx}/buckets", f"{nidx}/buckets",
+                         partition_by=["band", "bh_prefix"])
+        ms = run_compact(spark, f"{nidx}/sigs", f"{nidx}/sigs")
+        assert mb["rows"] == rows_b and ms["rows"] == rows_s
+        counts2 = files_per_dir(f"{nidx}/buckets")
+        assert counts2 and all(c == 1 for c in counts2.values()), counts2
+
+        assert probe() == before
+
+
 class TestCrawlStreamNearIndex:
     def test_streaming_epochs_near_dedup_mutated_copies(
         self, spark, tmp_path
