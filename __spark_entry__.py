@@ -210,10 +210,11 @@ def oracle_sql() -> dict[str, str]:
     )
     ql["w1_window_topk"] = (
         "SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn, "
-        "first_event_id, first_ts FROM "
+        "first_event_id, first_ts_us FROM "
         "(SELECT user_id, event_id, row_number() OVER w AS rn, "
         "first_value(event_id) OVER w AS first_event_id, "
-        "first_value(ts) OVER w AS first_ts FROM events "
+        "CAST(epoch_us(first_value(ts) OVER w) AS BIGINT) AS first_ts_us "
+        "FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "WHERE rn <= 3"
     )

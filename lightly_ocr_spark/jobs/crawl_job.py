@@ -247,7 +247,12 @@ def process_pages_batch(
         mode="append",
     )
     _leg("fp_index_append", tl)
-    _atomic_json(fpath, {"batch": batch_id, "fps_appended": n_unique})
+    # the marker records the batch's COMMITTED fingerprint count (the
+    # manifest's n_unique): on an index-append replay the recomputed
+    # n_unique is only the rows still missing (legally 0 after a crash
+    # past the append), which would leave misleading audit evidence
+    _atomic_json(fpath, {"batch": batch_id,
+                         "fps_appended": manifest["n_unique"]})
     manifest = dict(manifest)
     manifest["skipped"] = False
     # leg walls for THIS invocation (not persisted: a replay re-times only

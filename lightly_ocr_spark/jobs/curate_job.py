@@ -165,6 +165,16 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
         )
     if pack_budget is not None and pack_budget < 1:
         raise ValueError(f"pack budget must be >= 1, got {pack_budget}")
+    if chunk is None and (pack_budget is not None
+                          or shuffle_seed is not None):
+        # mirror the CLI's argparse dependency for API callers: packing
+        # and the seeded shard shuffle operate on the chunks/ output —
+        # without --chunk they would be silently ignored (no packs/, no
+        # shuffle) while the caller believes they ran
+        raise ValueError(
+            "pack_budget/shuffle_seed require chunk: packing and the "
+            "seeded shard shuffle run over the chunked output"
+        )
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     obs_in = Observation("curate-input")

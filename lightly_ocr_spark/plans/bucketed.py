@@ -130,7 +130,18 @@ def salted_join(
     tasks instead of one.  Results equal the plain join exactly (tested),
     output columns = left's + right's non-key columns.  The internal salt
     column name is chosen to avoid any existing column (silently
-    clobbering a caller's '_salt' would change the output)."""
+    clobbering a caller's '_salt' would change the output).
+
+    LIMITATION (content-derived salt): rows that are byte-identical
+    ACROSS ALL columns share one salt bucket, so a hot key whose volume
+    is dominated by exact duplicate rows is not spread — the join still
+    pays the x`salt` replication while one reducer does the hot work.
+    Exact-duplicate skew is better handled UPSTREAM of the join anyway:
+    pre-aggregate the duplicates into (row, count) — the dedup operators
+    in this engine exist precisely so corpus rows reaching a join are
+    distinct — after which the content salt spreads every row.  (The
+    no-content-column ValueError below is the degenerate case of the
+    same rule: key-only frames are all-duplicates by construction.)"""
     sc = "_salt"
     while sc in left.columns or sc in right.columns:
         sc += "_"

@@ -95,6 +95,18 @@ def a1_streaming_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ntz_epoch_us(col) -> F.Column:
+    """Naive-timestamp epoch micros: pure NTZ arithmetic against an NTZ
+    epoch literal, so the value never depends on the session time zone
+    (casting NTZ -> TIMESTAMP would localize in session TZ; unix_micros
+    rejects NTZ outright).  DuckDB's epoch_us(ts) on a naive timestamp
+    computes the same number."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        col,
+    )
+
+
 def a1_x2_json_event_stats(spark: SparkSession, sf: str) -> DataFrame:
     """A1 streaming mean + X2 exact quantiles + §2.7 JSON extraction in ONE
     per-event-type aggregation (round-5 window merge, same discipline as
@@ -264,27 +276,29 @@ def w1_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     `d10_reading_order`) carried as first_value columns over the SAME
     window spec — one shuffle, one sort, both operators evidenced by one
     driver row."""
-    # returns raw timestamps: pin session TZ so collected values match the
-    # UTC-naive DuckDB oracle regardless of the caller's session defaults
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # first_ts is emitted as epoch MICROS (bigint): timestamp COLLECTION
+    # depends on the session time zone, and a query function must not
+    # mutate session conf as a side effect (the pin would leak into every
+    # later query on a caller's non-UTC session) — integer micros are
+    # time-zone-independent on both engines
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
         load(spark, sf, "events")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("first_event_id", F.first("event_id").over(w))
-        .withColumn("first_ts", F.first("ts").over(w))
+        .withColumn("first_ts_us", _ntz_epoch_us(F.first("ts").over(w)))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "rn", "first_event_id", "first_ts")
+        .select("user_id", "event_id", "rn", "first_event_id", "first_ts_us")
     )
 
 
 def w2_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """W2 (guide pattern): sessionize events per user with a 30-minute
     inactivity gap — lag + cumsum-of-gap-flags windows, then per-session
-    aggregates.  Integer-exact outputs."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    aggregates.  Integer-exact outputs (epoch-micros math — no session
+    time-zone dependence, so no conf mutation)."""
     e = load(spark, sf, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        "ts_us", _ntz_epoch_us(F.col("ts"))
     )
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w_user)
@@ -329,16 +343,15 @@ def u1_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
-    """D10: deterministic first-in-order element per group."""
-    # returns raw timestamps: pin session TZ so collected values match the
-    # UTC-naive DuckDB oracle regardless of the caller's session defaults
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """D10: deterministic first-in-order element per group.  The
+    timestamp is emitted as epoch micros — time-zone-independent, so the
+    function never mutates session conf (see w1_window_topk)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
         load(spark, sf, "events")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts")
+        .select("user_id", "event_id", _ntz_epoch_us(F.col("ts")).alias("ts_us"))
     )
 
 
