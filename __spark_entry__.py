@@ -78,8 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_j3_semi_anti": R.j2_j3_semi_anti,
         "w1_window_topk": R.w1_window_topk,
         "w2_sessionization": R.w2_sessionization,
-        "t1_sort_limit": R.t1_sort_limit,
-        "u1_union_distinct": R.u1_union_distinct,
+        # round-5 merge: T1 + U1 tagged union frees the window slot for
+        # the newly-oracled sim_ivf_kmeans_topk
+        "t1_u1_sort_union": R.t1_u1_sort_union,
         "tpch_q1": R.tpch_q1,
         "p1_pivot": R.p1_pivot,
         "c1_r1_grouping_sets": R.c1_r1_grouping_sets,
@@ -112,19 +113,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_nb_langid": classify.ml_nb_langid,
         "ta_chunking": textstats.chunking,
         "ta_pii_scrub": textstats.pii_scrub,
-        # round-5: both reformulated PORTABLE (hash-mod selection /
-        # md5-digit bit votes) and promoted into the oracled window
+        # round-5: all three reformulated PORTABLE (hash-mod selection /
+        # md5-digit bit votes / fixed-point Lloyd updates) and promoted
+        # into the oracled window
         "ta_stratified_sample": textstats.stratified_sample,
         "dd_simhash": dedup.simhash_md5_fingerprints,
+        "sim_ivf_kmeans_topk": similarity.ivf_kmeans_topk,
         # --- rows-only from here down (positions 51+; engine-specific hash /
-        # RNG / sketch outputs with no portable SQL — each pytest-covered).
+        # sketch outputs with no portable SQL — each pytest-covered).
         # If the driver's 50-row window truncates anything, it is these.
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
-        # rows-only: refined centroids are float-reduction products of
-        # Spark partial aggregation (not portably re-derivable in SQL);
-        # recall-gated vs the first-n baseline by pytest instead
-        "sim_ivf_kmeans_topk": similarity.ivf_kmeans_topk,
     }
 
 
@@ -231,13 +230,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS "
         "duration_us FROM ids GROUP BY user_id, sess_seq"
     )
-    ql["t1_sort_limit"] = (
-        "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
-    )
-    ql["u1_union_distinct"] = (
-        "SELECT c_nationkey AS nationkey FROM customer "
-        "UNION SELECT s_nationkey AS nationkey FROM supplier"
+    ql["t1_u1_sort_union"] = (
+        "SELECT 't1' AS part, CAST(o_orderkey AS BIGINT) AS k1, "
+        "round(o_totalprice, 2) AS v FROM "
+        "(SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10) "
+        "UNION ALL "
+        "SELECT 'u1' AS part, CAST(nationkey AS BIGINT) AS k1, "
+        "CAST(NULL AS DOUBLE) AS v FROM "
+        "(SELECT c_nationkey AS nationkey FROM customer "
+        "UNION SELECT s_nationkey AS nationkey FROM supplier)"
     )
     ql["tpch_q1"] = (
         "SELECT l_returnflag, l_linestatus, "
@@ -682,6 +684,68 @@ def oracle_sql() -> dict[str, str]:
         "FROM cunit c, q, qn) WHERE rn <= 4), "
         "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e "
         "JOIN cells s ON e.vec_id = s.vec_id "
+        "JOIN probe p ON s.cell = p.cid WHERE e.vec_id <> 0), "
+        "sims AS (SELECT vec_id, " + _dotq.format(a="embedding", b="q.qe")
+        + " / (" + _norm2.format(a="embedding") + " * qn.qnorm) AS cos "
+        "FROM cand, q, qn) "
+        "SELECT vec_id, round(cos, 6) AS cosine_sim FROM "
+        "(SELECT * FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10)"
+    )
+    # sim_ivf_kmeans_topk: the Lloyd refinement itself is restated in SQL
+    # — fixed first-16 seed, two unrolled assign -> per-cell round-6 mean
+    # rounds (fixed-point updates quantize identically across engines, the
+    # ml_nb_langid discipline), empty cells inheriting the previous
+    # centroid — then the same probe/rerank as sim_ivf_topk over the
+    # refined codebook.  Ties everywhere break to the lowest centroid id,
+    # matching the engine's strictly-greater argmax / stable sort.
+    _unitize = (
+        "list_transform({ce}, v -> CAST(v AS DOUBLE) / "
+        + _norm2.format(a="{ce}") + ")"
+    )
+
+    def _lloyd_round(r: int) -> str:
+        cu = _unitize.format(ce="ce")
+        return (
+            f"cunit{r} AS (SELECT cid, {cu} AS cu FROM cents{r}), "
+            f"assign{r} AS (SELECT e.vec_id, e.embedding, c.cid, "
+            + _dotq.format(a="e.embedding", b="c.cu")
+            + f" AS d FROM embeddings e CROSS JOIN cunit{r} c), "
+            f"cell{r} AS (SELECT vec_id, embedding, cid AS cell FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d DESC, cid ASC) AS rn FROM assign{r}) "
+            f"WHERE rn = 1), "
+            f"mean{r} AS (SELECT cell, u.pos AS pos, "
+            f"round(avg(CAST(u.v AS DOUBLE)), 6) AS m FROM cell{r}, "
+            f"unnest(list_transform(generate_series(1, len(embedding)), "
+            "i -> {'pos': i, 'v': embedding[i]})) AS t(u) "
+            f"GROUP BY cell, u.pos), "
+            f"mlist{r} AS (SELECT cell, list(m ORDER BY pos) AS c "
+            f"FROM mean{r} GROUP BY cell), "
+            f"cents{r + 1} AS (SELECT p.cid, coalesce(m.c, "
+            "list_transform(p.ce, v -> CAST(v AS DOUBLE))) AS ce "
+            f"FROM cents{r} p LEFT JOIN mlist{r} m ON m.cell = p.cid)"
+        )
+
+    ql["sim_ivf_kmeans_topk"] = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "qn AS (SELECT " + _norm2.format(a="qe") + " AS qnorm FROM q), "
+        "cents0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings "
+        "ORDER BY vec_id LIMIT 16), "
+        + _lloyd_round(0) + ", " + _lloyd_round(1) + ", "
+        "cunitF AS (SELECT cid, ce, " + _norm2.format(a="ce") + " AS cn, "
+        + _unitize.format(ce="ce") + " AS cu FROM cents2), "
+        "assignF AS (SELECT e.vec_id, c.cid, "
+        + _dotq.format(a="e.embedding", b="c.cu")
+        + " AS d FROM embeddings e CROSS JOIN cunitF c), "
+        "cellsF AS (SELECT vec_id, cid AS cell FROM "
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d DESC, cid ASC) AS rn FROM assignF) WHERE rn = 1), "
+        "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER "
+        "(ORDER BY (" + _dotq.format(a="c.ce", b="q.qe")
+        + " / c.cn / qn.qnorm) DESC, c.cid ASC) AS rn "
+        "FROM cunitF c, q, qn) WHERE rn <= 4), "
+        "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+        "JOIN cellsF s ON e.vec_id = s.vec_id "
         "JOIN probe p ON s.cell = p.cid WHERE e.vec_id <> 0), "
         "sims AS (SELECT vec_id, " + _dotq.format(a="embedding", b="q.qe")
         + " / (" + _norm2.format(a="embedding") + " * qn.qnorm) AS cos "

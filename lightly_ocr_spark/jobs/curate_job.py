@@ -225,10 +225,15 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     # cache, never the upstream plan)
     n_unique = uniq.count()
     n_extracted = int(obs_ex.get["n"])
+    legs: dict[str, float] = {}
+    tl = time.time()
+    legs["extract_exact_dedup"] = round(tl - t0, 3)
 
     drops = near_dup_drops(
         uniq.select("url", "text"), checkpoint_dir=checkpoint_dir
     )
+    legs["near_dup_components"] = round(time.time() - tl, 3)
+    tl = time.time()
     deduped = uniq.join(drops, "url", "left_anti")
 
     if passage_dedup is not None:
@@ -383,6 +388,10 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
     for frame in to_unpersist:
         frame.unpersist()
+    # passage dedup / host cap / gates / enrichment / NB / PII all ride
+    # this one fused write action — the leg wall covers them jointly
+    legs["gates_enrich_write"] = round(time.time() - tl, 3)
+    tl = time.time()
 
     n_chunks = None
     if chunk is not None:
@@ -421,6 +430,8 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
             os.path.join(out_dir, "chunks")
         )
         n_chunks = int(obs_chunks.get["n"])
+        legs["chunks_shuffle_write"] = round(time.time() - tl, 3)
+        tl = time.time()
         if pack_budget is not None:
             # sequence packing of the just-written chunks into
             # fixed-budget training sequences (packs/ holds the
@@ -448,8 +459,10 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                 os.path.join(out_dir, "packs")
             )
             n_packs = int(obs_packs.get["n_packs"] or 0)
+            legs["packs_write"] = round(time.time() - tl, 3)
 
     manifest = {
+        "legs": legs,
         "input_pages": int(obs_in.get["n"]),
         "extracted_nonempty": n_extracted,
         "after_exact_dedup": n_unique,

@@ -267,10 +267,14 @@ def ivf_centroids_kmeans(
 
     Per iteration the driver pulls exactly n * dim doubles (bounded,
     independent of table size); all heavy work is one shuffle keyed by
-    (cell, dim position).  Deterministic: fixed seed vectors, fixed
-    iteration count, floating-point reductions over a fixed partitioning
-    are still engine-stable enough for the recall gate (the codebook is an
-    index-quality knob, not a correctness surface)."""
+    (cell, dim position).  Deterministic AND portable: fixed seed
+    vectors, fixed iteration count, and each Lloyd mean is rounded to
+    6 dp (fixed-point updates) — round-6 doubles quantize identically
+    across engines regardless of partial-aggregation sum order (the
+    ml_nb_langid discipline), so the WHOLE refine+probe+rerank plan is
+    restatable in SQL and the driver gate hash-matches it.  The 1e-6
+    quantization is far below any cell-assignment margin the recall gate
+    depends on (codebook quality is unchanged)."""
     cents = ivf_centroids(df, n)
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
@@ -282,7 +286,7 @@ def ivf_centroids_kmeans(
             assigned.select("cell", F.posexplode("embedding")
                             .alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                  .alias("vec"))

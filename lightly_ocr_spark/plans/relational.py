@@ -342,6 +342,25 @@ def u1_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return c.unionByName(s).distinct()
 
 
+def t1_u1_sort_union(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 + U1 in one tagged frame (round-5 window merge, the J2+J3
+    discipline): the deterministic top-10 sort/limit and the
+    union-distinct each contribute their rows under a `part` tag —
+    both operators' evidence in one driver row.  The standalone
+    `t1_sort_limit` / `u1_union_distinct` remain as library surface."""
+    t1 = t1_sort_limit(spark, sf).select(
+        F.lit("t1").alias("part"),
+        F.col("o_orderkey").cast("long").alias("k1"),
+        F.round("o_totalprice", 2).alias("v"),
+    )
+    u1 = u1_union_distinct(spark, sf).select(
+        F.lit("u1").alias("part"),
+        F.col("nationkey").cast("long").alias("k1"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return t1.unionByName(u1)
+
+
 def d10_reading_order(spark: SparkSession, sf: str) -> DataFrame:
     """D10: deterministic first-in-order element per group.  The
     timestamp is emitted as epoch micros — time-zone-independent, so the
