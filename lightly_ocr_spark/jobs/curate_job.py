@@ -556,13 +556,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
-    if args.shuffle_seed is not None and not args.chunk:
-        ap.error("--shuffle-seed requires --chunk (it orders the chunks/ "
-                 "output)")
-    if args.pack is not None and not args.chunk:
-        ap.error("--pack requires --chunk (it packs the chunks output)")
-    if args.pack is not None and args.pack < 1:
-        ap.error(f"--pack needs a budget >= 1, got {args.pack}")
+    # the chunk/pack/shuffle dependency and budget checks live in
+    # run_curate (one copy of each rule, shared with API callers)
     pdd = None
     if args.passage_dedup:
         try:

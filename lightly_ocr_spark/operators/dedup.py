@@ -65,9 +65,7 @@ def _tokens(df: DataFrame, id_col: str = "doc_id", ngram: int = 1) -> DataFrame:
     21.3s inline -> 2.4s two-step).  CollapseProject leaves the split
     materialized because the alias is referenced more than once and is
     non-cheap."""
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
-    )
+    words = lower_words()
     if ngram <= 1:
         return (
             df.select(
@@ -666,6 +664,15 @@ def incremental_exact_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # a compaction of the index (crawl_job's documented cadence) that
+    # crashed between its two swap renames leaves the whole corpus
+    # fingerprint set at <path>.replaced and nothing at <path> — restore
+    # it, or the PATH_NOT_FOUND fallback below would silently re-admit
+    # every cross-batch duplicate AND strand the old index forever (the
+    # append below recreates <path>, making later recovery a no-op)
+    from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
+
+    recover_interrupted_swap(index_path)
     try:
         index = spark.read.parquet(index_path).select("fp")
         fresh = intra.join(index, "fp", "left_anti")
@@ -839,10 +846,19 @@ def _near_dedup_core(
     # a rebuild (overwrite) crash between the swap renames leaves the old
     # index at <path>.replaced and nothing at <path> — restore it, or the
     # PATH_NOT_FOUND fallback below would silently treat a populated
-    # corpus as "first batch"
+    # corpus as "first batch".  The SUB-datasets get the same treatment:
+    # the documented compaction cadence swaps sigs/ and buckets/
+    # individually, and a crashed buckets/ compaction would otherwise
+    # make every indexed doc unmatchable (candidates need bucket rows)
+    # while the next commit recreates buckets/ and strands the backup
+    # forever.  A sub-dataset missing WITHOUT a .replaced backup is the
+    # append-crash window, which stays replay-safe by redundancy (see
+    # write_minhash_index).
     from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
 
     recover_interrupted_swap(index_path)
+    recover_interrupted_swap(f"{index_path}/sigs")
+    recover_interrupted_swap(f"{index_path}/buckets")
     cross_drops = None
     try:
         idx_sigs = spark.read.parquet(f"{index_path}/sigs").select(

@@ -307,10 +307,12 @@ def ivf_kmeans_topk(
     """ANN over the Lloyd-REFINED IVF codebook, end-to-end: refine the
     first-n seed with `iters` k-means rounds (bounded driver pull of
     n * dim doubles per round), then run the same probe/rerank as
-    `ivf_topk`.  Registered as a driver query; rows-only at the gate
-    (refined centroids are float-reduction products of Spark's partial
-    aggregation — not portably re-derivable in SQL), recall-gated by
-    pytest on the planted-cluster fixture instead."""
+    `ivf_topk`.  Registered as a driver query and FULLY ORACLED since
+    the Lloyd means became fixed-point (round-6) updates — the DuckDB
+    oracle unrolls exactly `iters`=2 assign/mean rounds, so changing
+    this default (or the rounding) requires the matching oracle edit in
+    `__spark_entry__.oracle_sql`.  Recall is additionally pytest-gated
+    on the planted-cluster fixture."""
     e = load(spark, sf, "embeddings")
     cents = ivf_centroids_kmeans(e, iters=iters)
     return ivf_topk(spark, sf, vec_id=vec_id, k=k, nprobe=nprobe,

@@ -528,6 +528,73 @@ class TestNearIndexCompaction:
         assert probe() == before
 
 
+class TestCompactionCrashRecovery:
+    def test_exact_index_interrupted_compaction_recovers_on_next_batch(
+        self, spark, tmp_path
+    ):
+        """A compaction of the fingerprint index that crashed between the
+        two swap renames leaves the corpus fingerprints at
+        <idx>.replaced and nothing at <idx>.  The next batch must restore
+        them — NOT take the 'first batch' branch, which would silently
+        re-admit every cross-batch duplicate and strand the backup."""
+        from lightly_ocr_spark.operators.dedup import incremental_exact_dedup
+
+        idx = str(tmp_path / "fp_index")
+        d0 = spark.createDataFrame(
+            [(f"d{i}", f"doc number {i} with some words " * 3)
+             for i in range(20)],
+            "doc_id string, text string",
+        )
+        incremental_exact_dedup(spark, d0, idx, commit=True)
+        n0 = spark.read.parquet(idx).count()
+        assert n0 == 20
+
+        # simulate run_compact dying between rename(out, .replaced) and
+        # rename(.inprogress, out)
+        os.rename(idx, idx + ".replaced")
+
+        d1 = spark.createDataFrame(
+            [("dup", "doc number 3 with some words " * 3),   # dupes d3
+             ("new", "genuinely novel content here " * 3)],
+            "doc_id string, text string",
+        )
+        out = incremental_exact_dedup(spark, d1, idx, commit=True)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == ["new"], ids  # duplicate caught => index recovered
+        assert not os.path.exists(idx + ".replaced")
+        assert spark.read.parquet(idx).count() == n0 + 1
+
+    def test_near_index_interrupted_bucket_compaction_recovers(
+        self, spark, tmp_path
+    ):
+        """Same crash window for the near index's buckets/ SUB-dataset
+        (the documented cadence compacts sigs/ and buckets/
+        individually): a stranded buckets.replaced must be restored, or
+        every indexed doc becomes unmatchable while the next commit
+        recreates buckets/ and makes recovery impossible forever."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        nidx = str(tmp_path / "mh_index")
+        base = " ".join(f"uniqueword{j} othertok{j}" for j in range(30))
+        d0 = spark.createDataFrame(
+            [("d0", base),
+             ("d1", " ".join(f"second{j} doc{j}words" for j in range(30)))],
+            "doc_id string, text string",
+        )
+        incremental_near_dedup(spark, d0, nidx, commit=True)
+
+        os.rename(os.path.join(nidx, "buckets"),
+                  os.path.join(nidx, "buckets.replaced"))
+
+        probe = spark.createDataFrame(
+            [("p-mut", base + " extra")],  # near-copy of indexed d0
+            "doc_id string, text string",
+        )
+        out = incremental_near_dedup(spark, probe, nidx, commit=False)
+        assert out.count() == 0  # near-dup caught => buckets recovered
+        assert not os.path.exists(os.path.join(nidx, "buckets.replaced"))
+
+
 class TestCrawlStreamNearIndex:
     def test_streaming_epochs_near_dedup_mutated_copies(
         self, spark, tmp_path
