@@ -219,6 +219,38 @@ class TestPlanShape:
         assert not any("buckets[" in ln for ln in filters), filters
 
 
+class TestShingleProjectionStaysMaterialized:
+    def test_words_alias_survives_optimization(self, spark):
+        """The round-5 quadratic fix: shingle builders materialize the
+        words array as its OWN projection so interpreted lambdas never
+        re-evaluate the split per element (O(words^2)/doc — measured 9x
+        on the 50k signature build).  CollapseProject keeps the alias
+        because it has multiple non-cheap references; if a refactor ever
+        inlines it again, the `_words` attribute disappears from the
+        optimized plan — this gate catches that."""
+        from lightly_ocr_spark.operators.dedup import (
+            _md5_grams,
+            minhash_signatures,
+        )
+        from lightly_ocr_spark.operators.textstats import (
+            chunk_docs,
+            repetition_signals_df,
+        )
+
+        d = spark.createDataFrame(
+            [("a", "one two three four five six seven eight")],
+            "doc_id string, text string",
+        )
+        for frame in (
+            minhash_signatures(d, ngram=3),
+            _md5_grams(d, 13),
+            repetition_signals_df(d),
+            chunk_docs(d),
+        ):
+            plan = frame._jdf.queryExecution().optimizedPlan().toString()
+            assert "_words" in plan, plan[:2000]
+
+
 class TestIncrementalNearDedupPlanShape:
     def test_no_cartesian_or_nested_loop_joins(self, spark, tmp_path):
         """The incremental near-dedup plan must be equi-joins end to end
