@@ -87,6 +87,28 @@ def calibrate() -> dict:
     }
 
 
+def membw_probe(mb: int = 256, reps: int = 3) -> float:
+    """Approximate achievable memory bandwidth (GB/s): best-of-`reps`
+    large-array copy.  Hypervisor STEAL catches CPU-time loss; this
+    catches the OTHER contention mode observed on this box — a sibling
+    workload saturating the memory bus degrades string/Arrow-heavy
+    extraction ~20-40% while steal reads zero and cache-resident
+    calibration burns stay flat.  Recording the probe pre/post makes a
+    bandwidth-contended reading self-identifying from the artifact."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        b = a.copy()
+        dt = time.time() - t0
+        best = min(best, dt)
+        del b
+    # copy reads + writes `mb` megabytes
+    return round(2 * mb / 1024 / best, 1)
+
+
 def steal_ticks() -> int:
     """Total hypervisor steal ticks across all cpus (/proc/stat col 8,
     USER_HZ=100).  Steal integrates over an interval, so bracketing a
@@ -151,6 +173,7 @@ def main() -> None:
         float(os.environ.get("BENCH_QUIET_WAIT_S", "120"))
     )
     state_pre = box_state()
+    state_pre["membw_gbs"] = membw_probe()
     calib = calibrate()
 
     pages_dir = ensure_bench_pages(n_pages)
@@ -294,7 +317,7 @@ def main() -> None:
             "slot_threads": slot_threads,
             "quiet_wait_s": waited,
             "pre": state_pre,
-            "post": box_state(),
+            "post": {**box_state(), "membw_gbs": membw_probe()},
             **calib,
             "narrow_attempts": narrow_attempts,
             "salted_attempts": salted_attempts,
