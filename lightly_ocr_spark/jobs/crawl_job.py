@@ -109,6 +109,7 @@ def process_pages_batch(
     min_tokens: int = MIN_TOKENS,
     input_desc: str | None = None,
     near_index_path: str | None = None,
+    near_max_bucket: int | None = None,
 ) -> dict:
     """One crawl batch, end to end, with the two-phase commit above.
 
@@ -176,7 +177,7 @@ def process_pages_batch(
 
         survivors, near_sigs = incremental_near_dedup(
             spark, exact_survivors, near_index_path, id_col="url",
-            commit=False, with_sigs=True,
+            commit=False, with_sigs=True, max_bucket=near_max_bucket,
         )
         n_near_unique = survivors.count()
         tl = _leg("near_dedup", tl)
@@ -282,6 +283,7 @@ def run_crawl_batch(
     input_format: str = "pages",
     min_tokens: int = MIN_TOKENS,
     near_index_path: str | None = None,
+    near_max_bucket: int | None = None,
 ) -> dict:
     """Batch front door: one crawl drop from disk.  batch_id defaults to
     the input basename — re-running the same drop resumes, a new drop
@@ -292,7 +294,7 @@ def run_crawl_batch(
     return process_pages_batch(
         spark, pages, out_dir, index_path, batch_id, min_tokens=min_tokens,
         input_desc=f"{input_format}:{os.path.abspath(input_path)}",
-        near_index_path=near_index_path,
+        near_index_path=near_index_path, near_max_bucket=near_max_bucket,
     )
 
 
@@ -305,6 +307,7 @@ def run_crawl_stream(
     max_files_per_trigger: int = 1,
     min_tokens: int = MIN_TOKENS,
     near_index_path: str | None = None,
+    near_max_bucket: int | None = None,
 ) -> dict:
     """Streaming front door: archives dropped into `warc_dir` flow through
     the SAME per-batch commit discipline, one epoch per trigger.  Runs to
@@ -321,6 +324,7 @@ def run_crawl_stream(
         process_pages_batch(
             spark, batch_df, out_dir, index_path, f"epoch-{epoch_id}",
             min_tokens=min_tokens, near_index_path=near_index_path,
+            near_max_bucket=near_max_bucket,
         )
 
     q = (
@@ -370,6 +374,11 @@ def main() -> None:
                     "near-dedup each batch against everything admitted so "
                     "far (mutated boilerplate that defeats exact "
                     "fingerprints)")
+    ap.add_argument("--near-max-bucket", type=int, default=None,
+                    help="skip LSH buckets holding more than this many "
+                    "members during near-dedup (degenerate boilerplate "
+                    "band hashes produce pairs quadratic in bucket size; "
+                    "recall degrades gracefully via the other bands)")
     ap.add_argument("--stream", action="store_true",
                     help="watch --input as a streaming WARC directory")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -387,12 +396,14 @@ def main() -> None:
         out = run_crawl_stream(
             spark, args.input, args.out, args.index, args.checkpoint_dir,
             min_tokens=args.min_tokens, near_index_path=args.near_index,
+            near_max_bucket=args.near_max_bucket,
         )
     else:
         out = run_crawl_batch(
             spark, args.input, args.out, args.index,
             batch_id=args.batch_id, input_format=args.format,
             min_tokens=args.min_tokens, near_index_path=args.near_index,
+            near_max_bucket=args.near_max_bucket,
         )
     print(json.dumps(out))
 

@@ -219,13 +219,36 @@ def band_buckets(
     ).select("doc_id", "e.band", "e.bh")
 
 
+def cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than `max_bucket` members before any
+    pair/candidate join.  A mega-bucket means a DEGENERATE band hash
+    (boilerplate shingle shared corpus-wide) and contributes pairs
+    quadratic in its size while carrying near-zero signal — the classic
+    LSH hot-bucket scale-killer at 10^12 docs.  Skipping it degrades
+    recall gracefully: a true near-dup pair still collides in any of the
+    other bands (8 bands here), and byte-identical / boilerplate content
+    is what exact, line, and passage dedup already catch.  `None`
+    disables the cap (exact legacy behavior)."""
+    if max_bucket is None:
+        return stacked
+    keep = (
+        stacked.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bh")
+    )
+    return stacked.join(keep, ["band", "bh"])
+
+
 def band_candidate_pairs(
-    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
     (id_a < id_b) sharing at least one LSH band hash, via the shared
-    `band_buckets` projection and a self-equi-join on (band, hash)."""
-    stacked = band_buckets(sig, k, bands)
+    `band_buckets` projection and a self-equi-join on (band, hash).
+    `max_bucket` skips degenerate hot buckets (see `cap_buckets`)."""
+    stacked = cap_buckets(band_buckets(sig, k, bands), max_bucket)
     x = stacked.alias("x")
     y = stacked.alias("y")
     return (
@@ -777,6 +800,7 @@ def incremental_near_dedup(
     min_agreement: float = 0.5, commit: bool = True,
     checkpoint_dir: str | None = None,
     with_sigs: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dedup a NEW crawl batch against the persisted minhash index,
     then (commit=True) append the survivors' signatures so the next batch
@@ -823,7 +847,7 @@ def incremental_near_dedup(
             spark, batch, sig_b, index_path, id_col, k, bands, need=int(
                 min_agreement * k),
             commit=commit, checkpoint_dir=checkpoint_dir,
-            with_sigs=with_sigs,
+            with_sigs=with_sigs, max_bucket=max_bucket,
         )
     finally:
         # release the signature cache even on failure (a raised corrupt-
@@ -833,7 +857,7 @@ def incremental_near_dedup(
 
 def _near_dedup_core(
     spark, batch, sig_b, index_path, id_col, k, bands, need,
-    commit, checkpoint_dir, with_sigs,
+    commit, checkpoint_dir, with_sigs, max_bucket=None,
 ):
     """Body of `incremental_near_dedup` (split out so the signature
     cache's persist/unpersist pairs in a try/finally)."""
@@ -868,9 +892,12 @@ def _near_dedup_core(
         idx_buckets = spark.read.parquet(f"{index_path}/buckets").select(
             F.col("doc_id").alias("corpus_id"), "band", "bh"
         )
+        # the cap applies to BOTH sides: a degenerate band hash grows a
+        # mega-bucket on the index side too, and the cross equi-join on
+        # it would be |batch-bucket| x |index-bucket|
         cand = (
-            band_buckets(sig_b, k, bands)
-            .join(idx_buckets, ["band", "bh"])
+            cap_buckets(band_buckets(sig_b, k, bands), max_bucket)
+            .join(cap_buckets(idx_buckets, max_bucket), ["band", "bh"])
             .select("doc_id", "corpus_id")
             .distinct()
         )
@@ -904,7 +931,8 @@ def _near_dedup_core(
     sig_rem = sig_rem.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # intra-batch: candidate pairs -> verified pairs -> components
-        pairs = band_candidate_pairs(sig_rem, k, bands)
+        pairs = band_candidate_pairs(sig_rem, k, bands,
+                                     max_bucket=max_bucket)
         verified = (
             pairs.join(
                 sig_rem.alias("sa"), F.col("id_a") == F.col("sa.doc_id")

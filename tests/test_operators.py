@@ -1116,6 +1116,74 @@ class TestIncrementalDedup:
         assert "PATH_NOT_FOUND" not in str(ei.value)
 
 
+class TestBucketCap:
+    def test_cap_skips_mega_bucket_keeps_small_bucket_pairs(self, spark):
+        """A degenerate band hash shared by many docs (corpus-wide
+        boilerplate shingle) produces pairs quadratic in bucket size;
+        `max_bucket` skips those buckets while near-dup pairs living in
+        small buckets are untouched."""
+        from lightly_ocr_spark.operators.dedup import (
+            band_candidate_pairs,
+            minhash_signatures,
+        )
+
+        mega = "identical boilerplate page body repeated verbatim " * 5
+        pair_a = " ".join(f"uniquevocab{j} rarestuff{j}" for j in range(30))
+        rows = [(f"m{i}", mega) for i in range(40)]
+        rows += [("a", pair_a), ("b", pair_a + " extra")]
+        d = spark.createDataFrame(rows, "doc_id string, text string")
+        sig = minhash_signatures(d, ngram=3)
+
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in band_candidate_pairs(sig).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in band_candidate_pairs(sig, max_bucket=20).collect()
+        }
+        # the mega group's C(40,2)=780 pairs vanish with the cap
+        assert ("m0", "m1") in uncapped
+        assert not any(a.startswith("m") and b.startswith("m")
+                       for a, b in capped)
+        # the small-bucket near-dup pair survives in BOTH
+        assert ("a", "b") in uncapped and ("a", "b") in capped
+        assert len(capped) < len(uncapped)
+
+    def test_incremental_near_dedup_honors_cap_both_sides(
+        self, spark, tmp_path
+    ):
+        """With the cap, a mega-bucket batch neither drops nor is dropped
+        via the degenerate bucket (index AND batch side), while a genuine
+        small-bucket near-dup of indexed content still drops."""
+        from lightly_ocr_spark.operators.dedup import incremental_near_dedup
+
+        idx = str(tmp_path / "mh_cap_index")
+        mega = "identical boilerplate page body repeated verbatim " * 5
+        pair_a = " ".join(f"uniquevocab{j} rarestuff{j}" for j in range(30))
+        b1 = spark.createDataFrame(
+            # byte-identical bodies: every band bucket holds exactly the
+            # 30 mega docs, all above the cap (distinct tails would let
+            # minhash split a few docs into small side-buckets)
+            [(f"m{i}", mega) for i in range(30)]
+            + [("a", pair_a)],
+            "doc_id string, text string",
+        )
+        s1 = incremental_near_dedup(spark, b1, idx, commit=True,
+                                    max_bucket=20)
+        # the mega docs share most shingles -> their buckets exceed the
+        # cap -> they are NOT clustered intra-batch; all survive
+        assert s1.count() == 31
+
+        b2 = spark.createDataFrame(
+            [("probe", pair_a + " extra")],
+            "doc_id string, text string",
+        )
+        s2 = incremental_near_dedup(spark, b2, idx, commit=False,
+                                    max_bucket=20)
+        assert s2.count() == 0  # small-bucket near-dup still caught
+
+
 class TestIncrementalNearDedup:
     def _doc(self, tag, mutate=None):
         words = [f"w{tag}{i}" for i in range(40)]

@@ -27,6 +27,7 @@ def main() -> None:
     from bench import ensure_bench_pages
     from lightly_ocr_spark.operators.dedup import (
         MINHASH_BANDS,
+        cap_buckets,
         MINHASH_K,
         band_buckets,
         band_candidate_pairs,
@@ -87,9 +88,10 @@ def main() -> None:
             idx_buckets = spark.read.parquet(f"{index_path}/buckets").select(
                 F.col("doc_id").alias("corpus_id"), "band", "bh"
             )
+            mb = int(os.environ.get("MAX_BUCKET", "0")) or None
             cand = (
-                band_buckets(sig_b, k, bands)
-                .join(idx_buckets, ["band", "bh"])
+                cap_buckets(band_buckets(sig_b, k, bands), mb)
+                .join(cap_buckets(idx_buckets, mb), ["band", "bh"])
                 .select("doc_id", "corpus_id")
                 .distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,7 +118,10 @@ def main() -> None:
             sig_b.join(cross_drops, "doc_id", "left_anti")
             if cross_drops is not None else sig_b
         )
-        pairs = band_candidate_pairs(sig_rem, k, bands).persist(
+        pairs = band_candidate_pairs(
+            sig_rem, k, bands,
+            max_bucket=int(os.environ.get("MAX_BUCKET", "0")) or None,
+        ).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         n_pairs = pairs.count()
