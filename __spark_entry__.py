@@ -119,10 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_stratified_sample": textstats.stratified_sample,
         "dd_simhash": dedup.simhash_md5_fingerprints,
         "sim_ivf_kmeans_topk": similarity.ivf_kmeans_topk,
-        # --- rows-only from here down (positions 51+; engine-specific hash /
-        # sketch outputs with no portable SQL — each pytest-covered).
-        # If the driver's 50-row window truncates anything, it is these.
-        "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only
+        # --- beyond the driver's 50-row window from here down.
+        # dd_minhash_pairs_md5 IS oracled (portable md5 min-hashes +
+        # band hashes) — verified locally by tools/check_oracles at
+        # every scale, just without a driver row; it certifies the
+        # banding/bucket-join semantics the xxhash64 fast path shares.
+        "dd_minhash_pairs_md5": dedup.minhash_pairs_md5,
+        "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only (xxhash64)
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
     }
 
@@ -613,9 +616,38 @@ def oracle_sql() -> dict[str, str]:
         f"v AS (SELECT doc_id, {_votes} FROM d GROUP BY doc_id) "
         f"SELECT doc_id, {_hex} AS simhash_hex FROM v"
     )
+    # dd_minhash_pairs_md5: the whole MinHash-LSH candidate pipeline in
+    # portable math — 60-bit md5-derived min-hashes, md5 band hashes,
+    # bucket self-join.  Beyond the driver's 50-row window; verified by
+    # tools/check_oracles locally at every scale.
+    _mhc = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || tok), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(32)
+    )
+    _bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4)
+        )
+        + ") AS bh FROM mh"
+        for b in range(8)
+    )
+    ql["dd_minhash_pairs_md5"] = (
+        "WITH doubled AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 500 UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 50), "
+        "toks AS (SELECT DISTINCT doc_id, tok FROM "
+        "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+        "AS tok FROM doubled) WHERE length(tok) > 0), "
+        f"mh AS (SELECT doc_id, {_mhc} FROM toks GROUP BY doc_id), "
+        f"bands AS ({_bands_sql}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+    )
     # rows-only (engine-specific internals, no portable SQL form):
-    #   dd_minhash_pairs (xxhash64), x1_approx_aggregates (sketches),
-    #   sim_ivf_kmeans_topk (float-reduction centroids)
+    #   dd_minhash_pairs (xxhash64), x1_approx_aggregates (sketches)
     ql["dd_embedding_neardup"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round("
         "list_sum(list_transform(list_zip(a.embedding, b.embedding), "

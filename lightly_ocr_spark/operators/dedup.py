@@ -290,6 +290,62 @@ def minhash_pairs(
     return band_candidate_pairs(sig, k, bands)
 
 
+def minhash_pairs_md5(
+    spark: SparkSession, sf: str,
+    k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    max_id: int = 500,
+) -> DataFrame:
+    """PORTABLE twin of `minhash_pairs`: the k min-hashes derive from
+    md5 (min over tokens of the 60-bit integer value of
+    md5(i:token)[:15]), and band hashes are md5 over the comma-joined
+    band minima — every step exact integer/string math DuckDB
+    reproduces verbatim, so this query is fully oracle-checkable.  The
+    xxhash64 operator pipeline stays the engine fast path (one cheap
+    hash per (seed, token) vs an md5 here); candidate-pair semantics
+    are identical (same banding, same bucket-join shape)."""
+    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < max_id
+    )
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    toks = _tokens(doubled)
+    mh = toks.groupBy("doc_id").agg(*[
+        F.min(F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, 15
+        ), 16, 10).cast("long")).alias(f"mh{i}")
+        for i in range(k)
+    ])
+    rows_per_band = k // bands
+    stacked = mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"mh{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ])).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    x, y = stacked.alias("x"), stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame) -> DataFrame:
     """doc_id -> 64-bit SimHash: per-bit sign votes over token hashes."""
     toks = _tokens(df).withColumn("h", F.xxhash64("tok"))
