@@ -87,14 +87,7 @@ def calibrate() -> dict:
     }
 
 
-def membw_probe(mb: int = 256, reps: int = 3) -> float:
-    """Approximate achievable memory bandwidth (GB/s): best-of-`reps`
-    large-array copy.  Hypervisor STEAL catches CPU-time loss; this
-    catches the OTHER contention mode observed on this box — a sibling
-    workload saturating the memory bus degrades string/Arrow-heavy
-    extraction ~20-40% while steal reads zero and cache-resident
-    calibration burns stay flat.  Recording the probe pre/post makes a
-    bandwidth-contended reading self-identifying from the artifact."""
+def _copy_bw(_=None, mb: int = 128, reps: int = 3) -> float:
     import numpy as np
 
     a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
@@ -106,7 +99,25 @@ def membw_probe(mb: int = 256, reps: int = 3) -> float:
         best = min(best, dt)
         del b
     # copy reads + writes `mb` megabytes
-    return round(2 * mb / 1024 / best, 1)
+    return 2 * mb / 1024 / best
+
+
+def membw_probe(procs: int = 8) -> dict:
+    """Achievable memory bandwidth: single-proc copy plus an
+    aggregate `procs`-way parallel copy.  Hypervisor STEAL catches
+    CPU-time loss; this instrument rules the memory bus in or out for
+    residual throughput variance that steal and cache-resident burns
+    both miss.  Measured baseline on this box: ~6 GB/s per proc,
+    aggregate scaling to ~45 GB/s at 8 procs — a sibling workload
+    saturating the bus would collapse the per-proc numbers, making that
+    contention mode self-identifying from the artifact."""
+    from multiprocessing import Pool
+
+    single = _copy_bw()
+    with Pool(procs) as p:
+        agg = sum(p.map(_copy_bw, range(procs)))
+    return {"single_gbs": round(single, 1),
+            f"agg{procs}_gbs": round(agg, 1)}
 
 
 def steal_ticks() -> int:
@@ -173,7 +184,7 @@ def main() -> None:
         float(os.environ.get("BENCH_QUIET_WAIT_S", "120"))
     )
     state_pre = box_state()
-    state_pre["membw_gbs"] = membw_probe()
+    state_pre["membw"] = membw_probe()
     calib = calibrate()
 
     pages_dir = ensure_bench_pages(n_pages)
@@ -317,7 +328,7 @@ def main() -> None:
             "slot_threads": slot_threads,
             "quiet_wait_s": waited,
             "pre": state_pre,
-            "post": {**box_state(), "membw_gbs": membw_probe()},
+            "post": {**box_state(), "membw": membw_probe()},
             **calib,
             "narrow_attempts": narrow_attempts,
             "salted_attempts": salted_attempts,
