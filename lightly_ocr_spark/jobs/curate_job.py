@@ -43,7 +43,8 @@ NEAR_DUP_MIN_AGREEMENT = 0.5
 
 
 def near_dup_drops(
-    texts: DataFrame, checkpoint_dir: str | None = None
+    texts: DataFrame, checkpoint_dir: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(url, text) -> urls to drop: verified near-dup pairs (signature
     agreement >= NEAR_DUP_MIN_AGREEMENT of the k min-hashes) are clustered
@@ -68,7 +69,9 @@ def near_dup_drops(
     # (banding, and both sides of the agreement verification join); without
     # it the verified-pairs plan and the components checkpoint each re-run
     # the whole subtree (measured: near-dedup leg 550s -> ~150s at 200k)
-    cand = band_candidate_pairs(sig, MINHASH_K, BANDS).select(
+    cand = band_candidate_pairs(
+        sig, MINHASH_K, BANDS, max_bucket=max_bucket
+    ).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     sa = sig.alias("sa")
@@ -147,6 +150,7 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
                min_fluency: float | None = None,
                shuffle_seed: int | None = None,
                passage_dedup: tuple[int, int] | None = None,
+               near_max_bucket: int | None = None,
                pack_budget: int | None = None) -> dict:
     """Stage counts come from `observe()` accumulators riding the actions
     the job runs anyway — never from extra `.count()` materializations or
@@ -230,7 +234,8 @@ def run_curate(spark: SparkSession, pages_path: str, out_dir: str,
     legs["extract_exact_dedup"] = round(tl - t0, 3)
 
     drops = near_dup_drops(
-        uniq.select("url", "text"), checkpoint_dir=checkpoint_dir
+        uniq.select("url", "text"), checkpoint_dir=checkpoint_dir,
+        max_bucket=near_max_bucket,
     )
     legs["near_dup_components"] = round(time.time() - tl, 3)
     tl = time.time()
@@ -549,6 +554,10 @@ def main() -> None:
                     help="also write packs/: greedy sequence packing of "
                     "the chunks into <= BUDGET-token training sequences "
                     "(requires --chunk)")
+    ap.add_argument("--near-max-bucket", type=int, default=None,
+                    help="skip LSH buckets holding more than this many "
+                    "members during near-dedup (hot-bucket quadratic "
+                    "guard; recall degrades gracefully via other bands)")
     ap.add_argument("--passage-dedup", default=None, metavar="N,MIN",
                     help="cut every N-token passage occurring in >= MIN "
                     "distinct docs (cross-doc boilerplate sentences) and "
@@ -590,6 +599,7 @@ def main() -> None:
                    pii=args.pii, chunk=chunk,
                    min_fluency=args.min_fluency,
                    shuffle_seed=args.shuffle_seed,
+                   near_max_bucket=args.near_max_bucket,
                    passage_dedup=pdd, pack_budget=args.pack)
     ))
 
