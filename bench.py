@@ -111,11 +111,16 @@ def membw_probe(procs: int = 8) -> dict:
     aggregate scaling to ~45 GB/s at 8 procs — a sibling workload
     saturating the bus would collapse the per-proc numbers, making that
     contention mode self-identifying from the artifact."""
-    from multiprocessing import Pool
+    import multiprocessing
 
     single = _copy_bw()
-    with Pool(procs) as p:
+    # spawn, not fork: the post-run probe executes while the Spark JVM's
+    # py4j threads are alive, and forking a threaded process can deadlock
+    # the child — a hung probe would lose the whole bench artifact
+    with multiprocessing.get_context("spawn").Pool(procs) as p:
         agg = sum(p.map(_copy_bw, range(procs)))
+    # agg sums per-worker best-of-3 (reps need not overlap), so it is an
+    # optimistic bound — still collapses decisively under bus saturation
     return {"single_gbs": round(single, 1),
             f"agg{procs}_gbs": round(agg, 1)}
 
@@ -311,6 +316,10 @@ def main() -> None:
         qtimes[name] = round(best, 3)
         qattempts[name] = attempts
 
+    # stop the session before the post probe: the probe forks workers and
+    # must not contend with (or measure) the JVM's own teardown threads
+    spark.stop()
+    post_state = {**box_state(), "membw": membw_probe()}
     out = {
         "metric": "extract_docs_per_sec",
         "value": round(docs_per_sec, 1),
@@ -328,7 +337,7 @@ def main() -> None:
             "slot_threads": slot_threads,
             "quiet_wait_s": waited,
             "pre": state_pre,
-            "post": {**box_state(), "membw": membw_probe()},
+            "post": post_state,
             **calib,
             "narrow_attempts": narrow_attempts,
             "salted_attempts": salted_attempts,

@@ -386,6 +386,10 @@ def main() -> None:
                     "--stream)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+    if args.near_max_bucket is not None and args.near_max_bucket < 1:
+        ap.error("--near-max-bucket must be >= 1 (omit the flag to "
+                 "disable the cap; 0 would drop every bucket and "
+                 "silently disable near-dedup)")
 
     from lightly_ocr_spark.plans.session import build_session
 

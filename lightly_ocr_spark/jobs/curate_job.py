@@ -563,6 +563,10 @@ def main() -> None:
                     "distinct docs (cross-doc boilerplate sentences) and "
                     "rewrite the text column")
     args = ap.parse_args()
+    if args.near_max_bucket is not None and args.near_max_bucket < 1:
+        ap.error("--near-max-bucket must be >= 1 (omit the flag to "
+                 "disable the cap; 0 would drop every bucket and "
+                 "silently disable near-dedup)")
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
     # the chunk/pack/shuffle dependency and budget checks live in

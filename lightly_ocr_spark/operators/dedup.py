@@ -228,27 +228,36 @@ def cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
     recall gracefully: a true near-dup pair still collides in any of the
     other bands (8 bands here), and byte-identical / boilerplate content
     is what exact, line, and passage dedup already catch.  `None`
-    disables the cap (exact legacy behavior)."""
+    disables the cap (exact legacy behavior).
+
+    Bucket size counts DISTINCT ids, not rows: the near-dup index's
+    append crash window legally leaves duplicate bucket rows (absorbed
+    by the candidate `distinct`), and a row count would double-count
+    them into spuriously capping a legitimate bucket."""
     if max_bucket is None:
         return stacked
+    if max_bucket < 1:
+        raise ValueError(
+            f"max_bucket must be >= 1, got {max_bucket}: a non-positive "
+            "cap drops every bucket, silently disabling near-dedup while "
+            "still paying the full signature cost (pass None to disable "
+            "the cap)"
+        )
+    id_col = [c for c in stacked.columns if c not in ("band", "bh")][0]
     keep = (
         stacked.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_n"))
         .filter(F.col("_n") <= max_bucket)
         .select("band", "bh")
     )
     return stacked.join(keep, ["band", "bh"])
 
 
-def band_candidate_pairs(
-    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
-    (id_a < id_b) sharing at least one LSH band hash, via the shared
-    `band_buckets` projection and a self-equi-join on (band, hash).
-    `max_bucket` skips degenerate hot buckets (see `cap_buckets`)."""
-    stacked = cap_buckets(band_buckets(sig, k, bands), max_bucket)
+def _pairs_from_stacked(stacked: DataFrame) -> DataFrame:
+    """Stacked bucket rows (doc_id, band, bh) -> distinct candidate pairs
+    (id_a < id_b) sharing at least one bucket — the single join tail
+    used by both the xxhash64 fast path and the portable md5 query, so
+    the pair semantics cannot drift between them."""
     x = stacked.alias("x")
     y = stacked.alias("y")
     return (
@@ -262,6 +271,19 @@ def band_candidate_pairs(
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
         )
         .distinct()
+    )
+
+
+def band_candidate_pairs(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Signature frame (doc_id, mh0..mh{k-1}) -> distinct candidate pairs
+    (id_a < id_b) sharing at least one LSH band hash, via the shared
+    `band_buckets` projection and a self-equi-join on (band, hash).
+    `max_bucket` skips degenerate hot buckets (see `cap_buckets`)."""
+    return _pairs_from_stacked(
+        cap_buckets(band_buckets(sig, k, bands), max_bucket)
     )
 
 
@@ -332,18 +354,7 @@ def minhash_pairs_md5(
             for b in range(bands)
         ])).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    x, y = stacked.alias("x"), stacked.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("id_a"),
-                F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_from_stacked(stacked)
 
 
 def simhash(df: DataFrame) -> DataFrame:
@@ -802,12 +813,26 @@ def write_minhash_index(
     and the next batch's candidate scan paid a 4096-task stage (measured:
     bucket join 5.1s -> ~1s, append 14s -> ~4s at 50k docs).
 
-    `mode='append'` is how a batch commits its survivors' signatures.
-    A crash between the two dataset appends is harmless-by-redundancy: a
-    doc present in only one dataset is not yet matchable (candidates need
-    buckets, verification needs sigs), the replaying batch re-appends it,
-    and the duplicate rows are absorbed by the `distinct` in candidate
-    generation.
+    `mode='append'` is how a batch commits its survivors' signatures —
+    IDEMPOTENT BY CONSTRUCTION: already-indexed doc_ids are anti-joined
+    out against the existing sigs/ dataset before anything is written,
+    so a crash-replay that recomputes the same survivor set appends
+    nothing.  (Self-match through the candidate join used to provide
+    replay-idempotence, but a bucket cap can legally suppress a capped
+    doc's self-match; the anti-join holds under ANY candidate-generation
+    settings.)  A doc_id already present keeps its ORIGINAL signature —
+    a re-crawled url whose content changed is not re-indexed, matching
+    the exact index's one-fingerprint-per-admission semantics.
+
+    Append ORDER is buckets first, sigs second, making sigs/ the commit
+    point the anti-join reads: a crash between the two appends leaves
+    orphan bucket rows whose doc_id is absent from sigs/ — inert
+    (verification inner-joins sigs) — and the replay, whose anti-join
+    still sees the doc_id as new, re-appends both datasets; the
+    duplicate bucket rows are absorbed by the candidate `distinct` and
+    by `cap_buckets`' distinct-id counting.  Appending sigs first would
+    instead make the replay skip the doc with its buckets missing —
+    permanently unmatchable.
 
     `mode='overwrite'` (an index REBUILD) is atomic: both datasets are
     fully written under `<path>.inprogress` and swapped in with the
@@ -821,16 +846,18 @@ def write_minhash_index(
 
     from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
 
-    buckets = (
-        band_buckets(sigs, k, bands)
-        .withColumn("bh_prefix", F.pmod("bh", F.lit(16)).cast("int"))
-        .repartition("band", "bh_prefix")
-    )
+    def _buckets(frame: DataFrame) -> DataFrame:
+        return (
+            band_buckets(frame, k, bands)
+            .withColumn("bh_prefix", F.pmod("bh", F.lit(16)).cast("int"))
+            .repartition("band", "bh_prefix")
+        )
+
     if mode == "overwrite":
         tmp = path.rstrip("/") + ".inprogress"
         shutil.rmtree(tmp, ignore_errors=True)
         sigs.write.mode("overwrite").parquet(f"{tmp}/sigs")
-        buckets.write.mode("overwrite").partitionBy(
+        _buckets(sigs).write.mode("overwrite").partitionBy(
             "band", "bh_prefix"
         ).parquet(f"{tmp}/buckets")
         recover_interrupted_swap(path)
@@ -843,10 +870,29 @@ def write_minhash_index(
         else:
             os.rename(tmp, path)
         return
-    sigs.write.mode(mode).parquet(f"{path}/sigs")
-    buckets.write.mode(mode).partitionBy("band", "bh_prefix").parquet(
-        f"{path}/buckets"
-    )
+    # append: restore any interrupted sub-dataset compaction, filter to
+    # genuinely-new doc_ids, then BUCKETS first, SIGS second (docstring)
+    recover_interrupted_swap(f"{path}/sigs")
+    recover_interrupted_swap(f"{path}/buckets")
+    new_sigs = sigs
+    try:
+        existing = sigs.sparkSession.read.parquet(f"{path}/sigs").select(
+            "doc_id"
+        )
+        # the anti-join plan reads path/sigs, which the write below
+        # updates — break lineage first or the write recaches the plan
+        # and re-evaluates it against the post-append state
+        new_sigs = sigs.join(existing, "doc_id", "left_anti") \
+            .localCheckpoint(eager=True)
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+            raise
+        # first append: the path does not exist yet
+    _buckets(new_sigs).write.mode("append").partitionBy(
+        "band", "bh_prefix"
+    ).parquet(f"{path}/buckets")
+    new_sigs.write.mode("append").parquet(f"{path}/sigs")
 
 
 def incremental_near_dedup(
@@ -950,10 +996,23 @@ def _near_dedup_core(
         )
         # the cap applies to BOTH sides: a degenerate band hash grows a
         # mega-bucket on the index side too, and the cross equi-join on
-        # it would be |batch-bucket| x |index-bucket|
+        # it would be |batch-bucket| x |index-bucket|.  The index-side
+        # size test runs over ONLY the buckets the batch touches (the
+        # restricting join keeps each touched bucket's full membership,
+        # so the test is exact) — capping the whole index would add a
+        # full-index aggregate per batch that grows with the corpus.
+        bb = cap_buckets(band_buckets(sig_b, k, bands), max_bucket)
+        if max_bucket is None:
+            idx_side = idx_buckets
+        else:
+            idx_side = cap_buckets(
+                idx_buckets.join(
+                    bb.select("band", "bh").distinct(), ["band", "bh"]
+                ),
+                max_bucket,
+            )
         cand = (
-            cap_buckets(band_buckets(sig_b, k, bands), max_bucket)
-            .join(cap_buckets(idx_buckets, max_bucket), ["band", "bh"])
+            bb.join(idx_side, ["band", "bh"])
             .select("doc_id", "corpus_id")
             .distinct()
         )

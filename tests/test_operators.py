@@ -1184,6 +1184,51 @@ class TestBucketCap:
         assert s2.count() == 0  # small-bucket near-dup still caught
 
 
+class TestMinhashIndexAppendIdempotence:
+    def test_reappend_is_noop_and_original_sig_kept(self, spark, tmp_path):
+        """The append anti-joins already-indexed doc_ids (idempotence no
+        longer depends on candidate self-match, which a bucket cap can
+        legally suppress), and an already-indexed doc_id keeps its
+        ORIGINAL signature even if re-appended with different content."""
+        from lightly_ocr_spark.operators.dedup import (
+            minhash_signatures,
+            write_minhash_index,
+        )
+
+        d1 = spark.createDataFrame(
+            [(f"d{i}", " ".join(f"tok{i}x{j} w{j}" for j in range(20)))
+             for i in range(5)],
+            "doc_id string, text string",
+        )
+        sigs1 = minhash_signatures(d1, ngram=3).localCheckpoint(eager=True)
+        idx = str(tmp_path / "idx")
+        write_minhash_index(sigs1, idx, mode="append")
+        n_sigs = spark.read.parquet(f"{idx}/sigs").count()
+        n_buck = spark.read.parquet(f"{idx}/buckets").count()
+        assert n_sigs == 5
+
+        # crash-replay: identical append is a complete no-op
+        write_minhash_index(sigs1, idx, mode="append")
+        assert spark.read.parquet(f"{idx}/sigs").count() == n_sigs
+        assert spark.read.parquet(f"{idx}/buckets").count() == n_buck
+
+        # re-crawled url with CHANGED content: not re-indexed
+        d2 = spark.createDataFrame(
+            [("d0", " ".join(f"totallynew{j} fresh{j}" for j in range(20))),
+             ("d9", " ".join(f"novel{j} doc{j}" for j in range(20)))],
+            "doc_id string, text string",
+        )
+        sigs2 = minhash_signatures(d2, ngram=3).localCheckpoint(eager=True)
+        write_minhash_index(sigs2, idx, mode="append")
+        sigs = spark.read.parquet(f"{idx}/sigs")
+        assert sigs.count() == 6  # only d9 appended
+        assert sigs.groupBy("doc_id").count().filter(
+            "count > 1").count() == 0
+        orig = {r["mh0"] for r in sigs1.filter("doc_id = 'd0'").collect()}
+        kept = {r["mh0"] for r in sigs.filter("doc_id = 'd0'").collect()}
+        assert kept == orig  # original signature survives
+
+
 class TestIncrementalNearDedup:
     def _doc(self, tag, mutate=None):
         words = [f"w{tag}{i}" for i in range(40)]

@@ -55,6 +55,7 @@ def main() -> None:
     extract_pages(warm).agg(F.count("*")).collect()
 
     k, bands = MINHASH_K, MINHASH_BANDS
+    mb = int(os.environ.get("MAX_BUCKET", "0")) or None
     need = k // 2
     agree = sum(
         (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int")
@@ -88,7 +89,6 @@ def main() -> None:
             idx_buckets = spark.read.parquet(f"{index_path}/buckets").select(
                 F.col("doc_id").alias("corpus_id"), "band", "bh"
             )
-            mb = int(os.environ.get("MAX_BUCKET", "0")) or None
             cand = (
                 cap_buckets(band_buckets(sig_b, k, bands), mb)
                 .join(cap_buckets(idx_buckets, mb), ["band", "bh"])
@@ -119,8 +119,7 @@ def main() -> None:
             if cross_drops is not None else sig_b
         )
         pairs = band_candidate_pairs(
-            sig_rem, k, bands,
-            max_bucket=int(os.environ.get("MAX_BUCKET", "0")) or None,
+            sig_rem, k, bands, max_bucket=mb,
         ).persist(
             StorageLevel.MEMORY_AND_DISK
         )
