@@ -102,7 +102,7 @@ def _copy_bw(_=None, mb: int = 128, reps: int = 3) -> float:
     return 2 * mb / 1024 / best
 
 
-def membw_probe(procs: int = 8) -> dict:
+def membw_probe(procs: int | None = None) -> dict:
     """Achievable memory bandwidth: single-proc copy plus an
     aggregate `procs`-way parallel copy.  Hypervisor STEAL catches
     CPU-time loss; this instrument rules the memory bus in or out for
@@ -113,6 +113,14 @@ def membw_probe(procs: int = 8) -> dict:
     contention mode self-identifying from the artifact."""
     import multiprocessing
 
+    if procs is None:
+        # respect the bench's CPU pin: oversubscribing a small affinity
+        # set would collapse per-proc bandwidth exactly like the bus
+        # saturation this probe exists to disambiguate
+        try:
+            procs = min(8, len(os.sched_getaffinity(0)))
+        except AttributeError:
+            procs = min(8, os.cpu_count() or 8)
     single = _copy_bw()
     # spawn, not fork: the post-run probe executes while the Spark JVM's
     # py4j threads are alive, and forking a threaded process can deadlock
@@ -316,7 +324,10 @@ def main() -> None:
         qtimes[name] = round(best, 3)
         qattempts[name] = attempts
 
-    # stop the session before the post probe: the probe forks workers and
+    # freeze the bench wall BEFORE teardown/probe: total_wall_s measures
+    # bench work, not the multi-second probe + JVM shutdown that follow
+    total_wall_s = round(time.time() - t_all, 3)
+    # stop the session before the post probe: the probe spawns workers and
     # must not contend with (or measure) the JVM's own teardown threads
     spark.stop()
     post_state = {**box_state(), "membw": membw_probe()}
@@ -330,7 +341,7 @@ def main() -> None:
         "extract_docs": row["n"],
         "extract_chars": int(row["chars"] or 0),
         "docs_per_sec_salted": round(row["n"] / salted_wall, 1),
-        "total_wall_s": round(time.time() - t_all, 3),
+        "total_wall_s": total_wall_s,
         # --- box-state evidence: a contended run is visible right here --
         "box": {
             "cpu_affinity_pinned": pinned,

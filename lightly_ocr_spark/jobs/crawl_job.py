@@ -168,8 +168,9 @@ def process_pages_batch(
         # append is gated on the corpus manifest below, and it must run
         # BEFORE the exact append: if the crash window falls between the
         # two appends, the replay's exact anti-join (exact index still
-        # unchanged) recomputes the full exact-survivor set, while
-        # near-dedup's self-match rule makes its own re-append a no-op.
+        # unchanged) recomputes the full exact-survivor set, while the
+        # near append's own doc_id anti-join (write_minhash_index) makes
+        # its re-append a no-op — under ANY bucket-cap setting.
         # The EXACT index still records every exact-novel fingerprint
         # (near-dropped included): future byte-identical copies of a
         # near-dropped doc stop at the cheap exact stage.

@@ -243,7 +243,15 @@ def cap_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
             "still paying the full signature cost (pass None to disable "
             "the cap)"
         )
-    id_col = [c for c in stacked.columns if c not in ("band", "bh")][0]
+    others = [c for c in stacked.columns if c not in ("band", "bh")]
+    if len(others) != 1:
+        raise ValueError(
+            f"cap_buckets expects exactly one id column besides "
+            f"(band, bh), got {stacked.columns}: project extras (e.g. a "
+            "bh_prefix partition column) away first, or the distinct "
+            "count silently runs over the wrong column"
+        )
+    id_col = others[0]
     keep = (
         stacked.groupBy("band", "bh")
         .agg(F.count_distinct(F.col(id_col)).alias("_n"))
@@ -846,6 +854,12 @@ def write_minhash_index(
 
     from lightly_ocr_spark.jobs.compact_job import recover_interrupted_swap
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_minhash_index supports mode='overwrite' (atomic "
+            f"rebuild) or 'append' (idempotent commit), got {mode!r}"
+        )
+
     def _buckets(frame: DataFrame) -> DataFrame:
         return (
             band_buckets(frame, k, bands)
@@ -924,10 +938,10 @@ def incremental_near_dedup(
          band_candidate_pairs -> agreement verify -> connected components
          -> keep each cluster's min id (transitive chains collapse to one
          survivor, same semantics as the curation pipeline);
-      5. append survivors' sigs+buckets (idempotent on replay: a doc
-         whose signature is already indexed matches ITSELF with k/k
-         agreement and drops in step 3, so the recomputed survivor set is
-         empty and the append is a no-op).
+      5. append survivors' sigs+buckets (idempotent on replay: the
+         append itself anti-joins already-indexed doc_ids — see
+         `write_minhash_index`; self-match in step 3 cannot be relied on
+         because a bucket cap legally suppresses it for capped docs).
 
     Returns surviving rows with all input columns (already materialized —
     safe to act on after any later index write); `with_sigs=True` also

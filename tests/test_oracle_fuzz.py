@@ -31,6 +31,7 @@ FUZZ_QUERIES = [
     "ta_token_count",
     "ta_fingerprint",
     "ml_nb_langid",
+    "dd_minhash_pairs_md5",
 ]
 
 VOCAB = [f"word{i}" for i in range(400)] + [
