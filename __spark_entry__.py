@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every scale, just without a driver row; it certifies the
         # banding/bucket-join semantics the xxhash64 fast path shares.
         "dd_minhash_pairs_md5": dedup.minhash_pairs_md5,
+        # per-source token-budget selection (corpus-mix data budget);
+        # oracled, beyond the window like the md5 twin above
+        "ta_budget_select": textstats.budget_select,
         "dd_minhash_pairs": dedup.minhash_pairs,        # rows-only (xxhash64)
         "x1_approx_aggregates": R.x1_approx_aggregates,  # rows-only (sketches)
     }
@@ -645,6 +648,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
         "FROM bands a JOIN bands b "
         "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+    )
+    # ta_budget_select: deterministic per-source token budget — running
+    # window sum over a portable md5 order key, exact integer math
+    ql["ta_budget_select"] = (
+        "SELECT doc_id, source, n_tokens, cum_tokens FROM "
+        "(SELECT doc_id, source, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY ok, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS cum_tokens FROM "
+        "(SELECT doc_id, source, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+        "AS n_tokens, "
+        "md5(source || ':' || CAST(doc_id AS VARCHAR)) AS ok "
+        "FROM documents)) WHERE cum_tokens <= 5000"
     )
     # rows-only (engine-specific internals, no portable SQL form):
     #   dd_minhash_pairs (xxhash64), x1_approx_aggregates (sketches)

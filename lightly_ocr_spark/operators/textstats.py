@@ -8,7 +8,7 @@ DuckDB oracles compare exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lightly_ocr_spark.plans.relational import load
@@ -102,6 +102,57 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
         "FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s "
         "FROM docs_langid))"
     )
+
+
+def budget_select_df(
+    d: DataFrame, budget_tokens: int, group_col: str = "source",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per-group TOKEN-BUDGET selection — the data-budget step of an LLM
+    corpus mix: admit documents per `group_col` (source/domain/language)
+    in a deterministic content-keyed order until the group's cumulative
+    whitespace-token count would exceed `budget_tokens`; the first doc
+    that crosses the budget (and everything after it) is cut.
+
+    Order is md5(group:id) — a seeded shuffle within each group, so the
+    admitted subset is an unbiased sample of the group, stable under
+    replay / cluster size / partitioning (the same property the
+    hash-mod stratified sampler relies on), and portable, so the whole
+    selection is DuckDB-oracle-checkable.  Plan: one window per group
+    (running token sum); a zipf-hot group serializes its own window sort
+    only — for a group so large that matters, pre-filter with the
+    stratified sampler to ~budget-scale first (doc'd trade-off; the cap
+    math stays exact on whatever subset reaches this operator).
+
+    Output: (id, group, n_tokens, cum_tokens) for admitted docs only."""
+    txt = F.trim(F.col(text_col))
+    n_tokens = (
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, r"\s+")))
+        .cast("long")
+    )
+    order_key = F.md5(F.concat_ws(
+        ":", F.col(group_col), F.col(id_col).cast("string")
+    ))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def budget_select(spark: SparkSession, sf: str,
+                  budget_tokens: int = 5000) -> DataFrame:
+    """Driver query: per-source token budget over the documents table."""
+    d = load(spark, sf, "documents")
+    return budget_select_df(d, budget_tokens)
 
 
 STRATA_FRACTIONS = {"en": 0.5, "fr": 0.5, "es": 0.5, "de": 0.2, "zh": 0.2}

@@ -685,6 +685,37 @@ class TestDriverContract:
             ratio = got.get(lang, 0) / base[lang]
             assert abs(ratio - frac) < 0.25, (lang, ratio)
 
+    def test_budget_select_invariants(self, spark):
+        """Per-group token budget: cum sums never exceed the budget, each
+        group's admitted set is a prefix of the deterministic md5 order,
+        and re-running yields identical rows."""
+        from lightly_ocr_spark.operators.textstats import budget_select_df
+
+        d = spark.createDataFrame(
+            [(i, f"s{i % 3}", "tok " * (5 + i % 7)) for i in range(120)],
+            "doc_id long, source string, text string",
+        )
+        out = budget_select_df(d, budget_tokens=60).collect()
+        assert out, "budget admitted nothing"
+        by_group: dict = {}
+        for r in out:
+            assert r["cum_tokens"] <= 60
+            by_group.setdefault(r["source"], []).append(r)
+        for g, rows in by_group.items():
+            # cum_tokens is a consistent running sum within the group
+            rows = sorted(rows, key=lambda r: r["cum_tokens"])
+            run = 0
+            for r in rows:
+                run += r["n_tokens"]
+                assert r["cum_tokens"] == run, (g, r)
+        out2 = budget_select_df(d, budget_tokens=60).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+        # a larger budget strictly extends the admitted set (prefix rule)
+        small = {r["doc_id"] for r in out}
+        big = {r["doc_id"]
+               for r in budget_select_df(d, budget_tokens=200).collect()}
+        assert small <= big and len(big) > len(small)
+
     def test_approx_aggregates_within_bounds(self, spark):
         """Sketches are engine-specific, so the gate is an accuracy bound
         vs exact, not an oracle hash."""

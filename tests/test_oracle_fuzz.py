@@ -32,6 +32,7 @@ FUZZ_QUERIES = [
     "ta_fingerprint",
     "ml_nb_langid",
     "dd_minhash_pairs_md5",
+    "ta_budget_select",
 ]
 
 VOCAB = [f"word{i}" for i in range(400)] + [
