@@ -84,18 +84,65 @@ def fuzz_sf(spark, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", FUZZ_QUERIES)
-def test_oracle_holds_on_random_corpus(spark, fuzz_sf, name):
-    import duckdb
+# events-table queries: windows, sessionization (30-min gaps + ts
+# tie-breaks), pivot, JSON extraction, quantiles — including the
+# round-5 TZ-independent epoch-micros outputs
+EVENT_FUZZ_QUERIES = [
+    "w1_window_topk",
+    "w2_sessionization",
+    "a1_x2_json_event_stats",
+    "a7_group_collect",
+    "p1_pivot",
+    "f4_confidence_threshold",
+]
 
+
+def _random_events(seed: int, n: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    ts_pool = [
+        base + dt.timedelta(seconds=rng.randint(0, 5 * 86400),
+                            microseconds=rng.randint(0, 999_999))
+        for _ in range(max(8, n // 5))
+    ]
+    for i in range(n):
+        # draw some timestamps from a small pool so exact-tie ordering
+        # (the event_id tie-break in every window) actually triggers
+        ts = (rng.choice(ts_pool) if rng.random() < 0.3 else
+              base + dt.timedelta(seconds=rng.randint(0, 5 * 86400),
+                                  microseconds=rng.randint(0, 999_999)))
+        rows.append({
+            "event_id": i,
+            "ts": ts,
+            "user_id": rng.randint(0, 25),
+            "event_type": rng.choice(
+                ["click", "view", "purchase", "signup", "error"]),
+            "value": round(rng.uniform(0, 1), 6),
+            "props": ('{"k": %d}' % rng.randint(0, 99)
+                      if rng.random() > 0.1 else None),
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_sf(spark, tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("events_fuzz_sf")
+    pdf = pd.DataFrame(_random_events(seed=4242, n=3000))
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.astype({"event_id": "int64", "user_id": "int64"})
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def _compare(spark, con, sf, name):
     import __spark_entry__ as entrymod
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{fuzz_sf}/documents.parquet'"
-    )
-    sdf = entrymod.queries()[name](spark, fuzz_sf)
+    sdf = entrymod.queries()[name](spark, sf)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     cur = con.execute(entrymod.oracle_sql()[name])
@@ -104,3 +151,27 @@ def test_oracle_holds_on_random_corpus(spark, fuzz_sf, name):
     assert sorted(scols) == sorted(ocols), (scols, ocols)
     assert len(srows) == len(orows), (name, len(srows), len(orows))
     assert canon(srows, scols) == canon(orows, ocols), name
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_oracle_holds_on_random_corpus(spark, fuzz_sf, name):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{fuzz_sf}/documents.parquet'"
+    )
+    _compare(spark, con, fuzz_sf, name)
+
+
+@pytest.mark.parametrize("name", EVENT_FUZZ_QUERIES)
+def test_oracle_holds_on_random_events(spark, events_fuzz_sf, name):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{events_fuzz_sf}/events.parquet'"
+    )
+    _compare(spark, con, events_fuzz_sf, name)
