@@ -175,3 +175,65 @@ def test_oracle_holds_on_random_events(spark, events_fuzz_sf, name):
         f"'{events_fuzz_sf}/events.parquet'"
     )
     _compare(spark, con, events_fuzz_sf, name)
+
+# embeddings-table queries: the whole similarity stack's float-fold
+# discipline (in-element-order dots/norms, round-6 quantization, seeded
+# hyperplanes, fixed-point Lloyd rounds) pinned on random vectors
+EMBEDDING_FUZZ_QUERIES = [
+    "sim_cosine_topk",
+    "dd_embedding_neardup",
+    "sim_knn_join",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "sim_ivf_kmeans_topk",
+]
+
+
+def _random_embeddings(seed: int, n: int, dim: int = 64):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        v = rng.randn(dim).astype(np.float32)
+        if i % 17 == 0 and i > 0:  # planted near-dups of vector 0
+            v = (rows[0]["embedding"] + rng.randn(dim).astype(np.float32)
+                 * 0.05)
+        rows.append({
+            "vec_id": i,
+            "embedding": v.astype(np.float32),
+            "label": int(rng.randint(0, 8)),
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def embeddings_fuzz_sf(spark, tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("emb_fuzz_sf")
+    rows = _random_embeddings(seed=808, n=400)
+    table = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [r["embedding"].tolist() for r in rows],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array([r["label"] for r in rows], pa.int32()),
+    })
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMBEDDING_FUZZ_QUERIES)
+def test_oracle_holds_on_random_embeddings(spark, embeddings_fuzz_sf, name):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{embeddings_fuzz_sf}/embeddings.parquet'"
+    )
+    _compare(spark, con, embeddings_fuzz_sf, name)
