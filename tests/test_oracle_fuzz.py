@@ -237,3 +237,118 @@ def test_oracle_holds_on_random_embeddings(spark, embeddings_fuzz_sf, name):
         f"'{embeddings_fuzz_sf}/embeddings.parquet'"
     )
     _compare(spark, con, embeddings_fuzz_sf, name)
+
+# relational (TPC-H-ish) queries: aggregation/join/window/grouping-set
+# semantics pinned on random tables
+RELATIONAL_FUZZ_QUERIES = [
+    "tpch_q1",
+    "j1_broadcast_join",
+    "j2_j3_semi_anti",
+    "c1_r1_grouping_sets",
+    "f9_cdc_merge",
+    "s5_scan_projection",
+    "t1_u1_sort_union",
+    "s10_ddl_roundtrip",
+]
+
+
+def _random_relational(seed: int, n_orders: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.date(1995, 1, 1)
+    orders, lineitem = [], []
+    for ok in range(n_orders):
+        orders.append({
+            "o_orderkey": ok,
+            "o_custkey": rng.randint(0, n_orders // 10),
+            "o_orderstatus": rng.choice(["O", "F", "P"]),
+            "o_totalprice": round(rng.uniform(100, 50000), 2),
+            "o_orderdate": dt.datetime.combine(
+                base + dt.timedelta(days=rng.randint(0, 1500)),
+                dt.time()),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"]),
+        })
+        for ln in range(rng.randint(1, 4)):
+            lineitem.append({
+                "l_orderkey": ok,
+                "l_partkey": rng.randint(0, 999),
+                "l_suppkey": rng.randint(0, 99),
+                "l_linenumber": ln,
+                "l_quantity": float(rng.randint(1, 50)),
+                "l_extendedprice": round(rng.uniform(10, 90000), 2),
+                "l_discount": round(rng.uniform(0, 0.1), 2),
+                "l_tax": round(rng.uniform(0, 0.08), 2),
+                "l_returnflag": rng.choice(["A", "N", "R"]),
+                "l_linestatus": rng.choice(["O", "F"]),
+                "l_shipdate": dt.datetime.combine(
+                    base + dt.timedelta(days=rng.randint(0, 1600)),
+                    dt.time()),
+            })
+    # every customer key referenced by orders exists, plus orderless ones
+    # (the j2_j3 anti-join needs genuinely inactive customers)
+    custkeys = sorted({o["o_custkey"] for o in orders}
+                      | {n_orders // 10 + i for i in range(20)})
+    customer = [{
+        "c_custkey": ck,
+        "c_name": f"Customer#{ck}",
+        "c_nationkey": rng.randint(0, 24),
+        "c_acctbal": round(rng.uniform(-999, 9999), 2),
+        "c_mktsegment": rng.choice(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD"]),
+    } for ck in custkeys]
+    supplier = [{
+        "s_suppkey": sk,
+        "s_name": f"Supplier#{sk}",
+        "s_nationkey": rng.randint(0, 24),
+        "s_acctbal": round(rng.uniform(-999, 9999), 2),
+    } for sk in range(100)]
+    nation = [{
+        "n_nationkey": nk,
+        "n_name": f"NATION{nk}",
+        "n_regionkey": nk % 5,
+    } for nk in range(25)]
+    return orders, lineitem, customer, supplier, nation
+
+
+@pytest.fixture(scope="module")
+def relational_fuzz_sf(spark, tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("rel_fuzz_sf")
+    orders, lineitem, customer, supplier, nation = _random_relational(
+        seed=515, n_orders=800)
+    casts = {
+        "orders": (orders, {"o_orderkey": "int64", "o_custkey": "int64"},
+                   ["o_orderdate"]),
+        "lineitem": (lineitem, {"l_orderkey": "int64", "l_partkey": "int64",
+                                "l_suppkey": "int64",
+                                "l_linenumber": "int32"}, ["l_shipdate"]),
+        "customer": (customer, {"c_custkey": "int64",
+                                "c_nationkey": "int32"}, []),
+        "supplier": (supplier, {"s_suppkey": "int64",
+                                "s_nationkey": "int32"}, []),
+        "nation": (nation, {"n_nationkey": "int32",
+                            "n_regionkey": "int32"}, []),
+    }
+    for name, (rows, types, ts_cols) in casts.items():
+        pdf = pd.DataFrame(rows).astype(types)
+        for c in ts_cols:
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(d, f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_FUZZ_QUERIES)
+def test_oracle_holds_on_random_relational(spark, relational_fuzz_sf, name):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "customer", "supplier", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{relational_fuzz_sf}/{t}.parquet'"
+        )
+    _compare(spark, con, relational_fuzz_sf, name)
+
