@@ -692,7 +692,14 @@ def line_dedup(spark: SparkSession, sf: str, min_docs: int = 5) -> DataFrame:
     line_dedup_docs strips exactly the chrome (the 8-word body chunks of
     the tiny-vocab corpus stay under min_docs).  Fully DuckDB-oracled:
     the oracle rebuilds the same lines and filters them with a list
-    comprehension instead of the join (same result, different plan)."""
+    comprehension instead of the join (same result, different plan).
+
+    Corpus-shape assumption (query construction only, not the operator):
+    the oracle filters the constructed CHUNK list, while the engine
+    operator re-splits the joined text on newline — equivalent iff the
+    source text contains no embedded newlines (true of the driver
+    fixture; the randomized fuzz covers this query with a newline-free
+    corpus, and `line_dedup_docs` itself is input-agnostic)."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     nchunks = F.ceil(F.size(w) / F.lit(8)).cast("int")

@@ -24,6 +24,21 @@ from tools.check_oracles import canon  # noqa: E402
 
 # documents-table queries whose oracles must hold on ANY corpus
 FUZZ_QUERIES = [
+    "f1_length_filter",
+    "f2_f3_charset_filter_scrub",
+    "f7_validity_filter",
+    "a2_exact_match_accuracy",
+    "a5_edit_distance",
+    "ta_quality_score",
+    "ta_lang_id",
+    "ta_url_normalize",
+    "ta_host_cap",
+    "ta_repetition",
+    "ta_pii_scrub",
+    "dd_exact",
+    "dd_jaccard_words",
+    "dd_decontaminate",
+    "dd_components",
     "dd_simhash",
     "ta_stratified_sample",
     "ta_chunking",
@@ -351,4 +366,38 @@ def test_oracle_holds_on_random_relational(spark, relational_fuzz_sf, name):
             f"'{relational_fuzz_sf}/{t}.parquet'"
         )
     _compare(spark, con, relational_fuzz_sf, name)
+
+@pytest.fixture(scope="module")
+def fuzz_sf_spaced(spark, tmp_path_factory):
+    """Newline-free random documents: dd_line_dedup's oracle filters the
+    constructed chunk list while the engine re-splits on newline — they
+    agree exactly iff the source text has no embedded newlines (the
+    documented query-construction assumption; the operator itself is
+    input-agnostic and covered by its own tests)."""
+    import pandas as pd
+
+    global SEPS
+    saved = SEPS
+    SEPS = [" ", "  ", "\t", "   "]
+    try:
+        rows = _random_documents(seed=7331, n=400)
+    finally:
+        SEPS = saved
+    d = tmp_path_factory.mktemp("fuzz_sf_spaced")
+    pdf = pd.DataFrame(rows).astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_line_dedup_oracle_holds_on_newline_free_corpus(
+    spark, fuzz_sf_spaced
+):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{fuzz_sf_spaced}/documents.parquet'"
+    )
+    _compare(spark, con, fuzz_sf_spaced, "dd_line_dedup")
 
