@@ -48,6 +48,13 @@ FUZZ_QUERIES = [
     "ml_nb_langid",
     "dd_minhash_pairs_md5",
     "ta_budget_select",
+    "fn_scalar_surface",
+    "s3_text_scan",
+    # the FULL extraction engine (HTML construction -> fused Arrow
+    # extraction) and the PDF leg, byte-compared against the
+    # SQL-predicted oracle on random text
+    "ex_extract_documents",
+    "ex_extract_pdf",
 ]
 
 VOCAB = [f"word{i}" for i in range(400)] + [
