@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lightly_ocr_spark.plans.relational import load
+from lightly_ocr_spark.plans.relational import load, spread
 
 
 def _words(text_col: str) -> F.Column:
@@ -164,8 +164,12 @@ def ml_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Driver query: train NB on (lang, text) over the documents table and
     score the same corpus — trainable-classifier plumbing end-to-end in one
     declarative plan.  Fully DuckDB-oracled (counts are exact integers;
-    ln/round(6) agreed bit-exactly across engines on this fixture)."""
-    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    ln/round(6) agreed bit-exactly across engines on this fixture).
+
+    The scan is `spread` (round 6): fit and predict each explode the
+    corpus into tokens, and a single-row-group parquet file otherwise
+    runs both explodes on one core (guide §2.5)."""
+    d = spread(load(spark, sf, "documents").select("doc_id", "lang", "text"))
     # one-shot fit+predict: lazy fit skips two checkpoint barriers (the
     # r4 leak fix stays default for session/job callers that refit)
     word_model, label_model = nb_fit(d, label_col="lang", eager=False)

@@ -21,7 +21,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lightly_ocr_spark.plans.relational import load
+from lightly_ocr_spark.plans.relational import load, spread
 
 MINHASH_K = 32          # signature length
 MINHASH_BANDS = 8       # 8 bands x 4 rows
@@ -104,8 +104,11 @@ def _md5_grams(df: DataFrame, ngram: int, id_col: str = "doc_id") -> DataFrame:
 
 def exact_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: groups with >1 identical text; keeper = min doc_id.
-    (Input doubled on doc_id<50 so duplicate groups actually exist.)"""
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    (Input doubled on doc_id<50 so duplicate groups actually exist.)
+    The scan is `spread` (round 6): md5 over every document body is
+    per-row heavy, and a single-row-group parquet file scans as one
+    task (guide §2.5)."""
+    d = spread(load(spark, sf, "documents").select("doc_id", "text"))
     doubled = d.unionByName(d.filter(F.col("doc_id") < 50))
     return (
         doubled.groupBy(F.md5("text").alias("content_md5"))
@@ -308,9 +311,9 @@ def minhash_pairs(
     tiny vocabulary, so nearly every pair is a true near-dup and the pair
     count grows quadratically with corpus size — a data property, not an
     LSH failure (bucket join still never materializes cross-bucket pairs)."""
-    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+    d = spread(load(spark, sf, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < max_id
-    )
+    ))
     doubled = d.unionByName(
         d.filter(F.col("doc_id") < 50).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -333,9 +336,9 @@ def minhash_pairs_md5(
     xxhash64 operator pipeline stays the engine fast path (one cheap
     hash per (seed, token) vs an md5 here); candidate-pair semantics
     are identical (same banding, same bucket-join shape)."""
-    d = load(spark, sf, "documents").select("doc_id", "text").filter(
+    d = spread(load(spark, sf, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < max_id
-    )
+    ))
     doubled = d.unionByName(
         d.filter(F.col("doc_id") < 50).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -386,7 +389,8 @@ def simhash(df: DataFrame) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash(load(spark, sf, "documents").select("doc_id", "text"))
+    return simhash(spread(load(spark, sf, "documents")
+                          .select("doc_id", "text")))
 
 
 def simhash_md5(df: DataFrame) -> DataFrame:
@@ -436,8 +440,11 @@ def simhash_md5(df: DataFrame) -> DataFrame:
 
 def simhash_md5_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Driver query: portable-bit SimHash over the documents table (the
-    oracled twin of `simhash_fingerprints`)."""
-    return simhash_md5(load(spark, sf, "documents").select("doc_id", "text"))
+    oracled twin of `simhash_fingerprints`).  Scan `spread` (round 6):
+    sixteen digit extractions per token are per-row heavy and the
+    single-row-group scan otherwise runs them on one core."""
+    return simhash_md5(spread(load(spark, sf, "documents")
+                              .select("doc_id", "text")))
 
 
 def decontaminate(
@@ -699,8 +706,14 @@ def line_dedup(spark: SparkSession, sf: str, min_docs: int = 5) -> DataFrame:
     operator re-splits the joined text on newline — equivalent iff the
     source text contains no embedded newlines (true of the driver
     fixture; the randomized fuzz covers this query with a newline-free
-    corpus, and `line_dedup_docs` itself is input-agnostic)."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    corpus, and `line_dedup_docs` itself is input-agnostic).
+
+    Round 6: the scan is `spread` (single-row-group parquet scans as ONE
+    task — guide §2.5), and the final orderBy is gone (guide §2.4: an
+    Exchange + sort purely for output cosmetics; the driver gate and the
+    oracle compare order-insensitively, and the oracle SQL has no ORDER
+    BY either)."""
+    d = spread(load(spark, sf, "documents").select("doc_id", "text"))
     w = F.split(F.col("text"), " ")
     nchunks = F.ceil(F.size(w) / F.lit(8)).cast("int")
     body = F.transform(
@@ -717,7 +730,7 @@ def line_dedup(spark: SparkSession, sf: str, min_docs: int = 5) -> DataFrame:
                    F.lit("subscribe to the newsletter today")),
         ).alias("text"),
     )
-    return line_dedup_docs(lined, min_docs=min_docs).orderBy("doc_id")
+    return line_dedup_docs(lined, min_docs=min_docs)
 
 
 def write_fingerprint_index(
@@ -1140,20 +1153,47 @@ def passage_dedup_docs(
     original text byte-for-byte (including newlines/tabs/multi-space —
     only docs a passage was actually cut from are reassembled
     single-spaced); a fully-covered doc yields an empty string (caller
-    gates).  Output: (id, cleaned, n_removed_tokens)."""
+    gates).  Output: (id, cleaned, n_removed_tokens).
+
+    Round-6 plan shape (guide §2.4/§2.3; before: 5 Exchanges, the gram
+    build evaluated TWICE in two scan branches, and an 8x position
+    explode feeding collect_set — 17.7 s single-task at 50k docs):
+      * `spread` fans the unsplittable single-row-group scan out to the
+        core budget, and the round-robin Exchange is REUSED by the gram
+        branch and the rebuild join (one scan, one text shuffle);
+      * the exploded grams are hash-repartitioned on gh ONCE — the
+        document-frequency aggregate (clustered by gh, so the distinct
+        count needs no further Exchange) and the common-gram hit join
+        both read that same reused Exchange, so the gram/md5 build now
+        runs exactly once;
+      * hits aggregate as collect_set(pos) — one row per hit instead of
+        n exploded cover rows — and each doc's covered-position set is
+        expanded JVM-side (flatten of n-long sequences + array_distinct,
+        identical set to the old exploded collect_set)."""
     words = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
     )
-    w = d.select(
+    base = spread(d.select(F.col(id_col), F.col(text_col)))
+    w = base.select(
         F.col(id_col), F.col(text_col).alias("text"), words.alias("w")
     )
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("w") - n),
-        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("w"), p + 1, n))),
-    )
+    # the short-doc gate lives INSIDE the gram expression (empty array ->
+    # posexplode drops the row) instead of a .filter(): a row filter
+    # would be pushed below the spread Exchange, re-serializing the
+    # split/size work on the unsplit scan and forking the scan into
+    # non-reusable per-branch variants
+    gram = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda p: F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), p + 1, n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = (
-        w.filter(F.size("w") >= n)
-        .select(id_col, F.posexplode(gram).alias("pos", "gh"))
+        w.select(id_col, F.posexplode(gram).alias("pos", "gh"))
+        .repartition(F.col("gh"))
     )
     common = (
         g.groupBy("gh")
@@ -1161,25 +1201,26 @@ def passage_dedup_docs(
         .filter(F.col("df") >= min_docs)
         .select("gh")
     )
-    covered = (
+    cov = (
         g.join(common, "gh")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-            ).alias("cp"),
-        )
-        # no .distinct(): collect_set below deduplicates, and a distinct
-        # here would shuffle the operator's WIDEST frame a second time
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("ps"))
     )
-    cov = covered.groupBy(id_col).agg(F.collect_set("cp").alias("cps"))
+    # distinct covered positions, expanded from the per-hit start set —
+    # materialized as its OWN projection (the `_tokens` lesson: an alias
+    # referenced twice below must not be re-inlined per reference)
+    cps = F.array_distinct(F.flatten(F.transform(
+        "ps", lambda p: F.sequence(p, p + (n - 1))
+    )))
+    covd = w.join(cov, id_col, "left").select(
+        id_col, "text", "w", cps.alias("cps")
+    )
     keep = F.filter(
         F.col("w"),
         lambda x, i: ~F.array_contains("cps", i),
     )
     return (
-        w.join(cov, id_col, "left")
-        .select(
+        covd.select(
             id_col,
             # untouched docs keep their ORIGINAL text byte-for-byte —
             # rebuilding them through split+concat_ws would silently

@@ -120,8 +120,16 @@ def _dense_ascii_docs(spark, sf_dir: str) -> DataFrame:
     contract reduces to whitespace collapse for such paragraphs).  ONE
     definition shared by the HTML and PDF flagship queries so their
     eligibility gates cannot drift apart from each other or from the
-    matching DuckDB oracle predicates."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    matching DuckDB oracle predicates.
+
+    The scan is `spread` (round 6, guide §2.5): both flagship queries
+    funnel this frame into a mapInPandas Arrow stage, and a
+    single-row-group parquet file otherwise feeds EVERY Python extraction
+    batch through one task — one core doing all the work regardless of
+    cluster size."""
+    from lightly_ocr_spark.plans.relational import spread
+
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
     return d.filter(
         ~F.col("text").rlike("[^ -~]")

@@ -14,7 +14,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lightly_ocr_spark.plans.relational import load
+from lightly_ocr_spark.plans.relational import load, spread
 
 PLANES_SEED = 4420
 N_TABLES = 8       # L independent hash tables
@@ -68,7 +68,10 @@ def cosine_topk(
     vec_id; similarity rounded for cross-engine comparison)."""
     q = _query_vec(spark, sf, vec_id)
     qcol = F.array(*[F.lit(v) for v in q])
-    e = load(spark, sf, "embeddings")
+    # spread (round 6): the 64-element dot/norm folds are interpreted
+    # per-row work and the single-row-group scan otherwise runs them all
+    # on one core (guide §2.5)
+    e = spread(load(spark, sf, "embeddings"))
     sims = e.select(
         "vec_id",
         (_dot(F.col("embedding"), qcol)

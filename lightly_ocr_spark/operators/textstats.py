@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lightly_ocr_spark.plans.relational import load
+from lightly_ocr_spark.plans.relational import load, spread
 
 # language markers: (lang, stopword with flanking spaces)
 LANG_MARKERS = [
@@ -39,8 +39,10 @@ BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 
 def token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace token count + BPE-ish pretokenizer count (regex matches,
-    JVM-side) + chars/4 subword estimate."""
-    d = load(spark, sf, "documents")
+    JVM-side) + chars/4 subword estimate.  Scan `spread` (round 6, guide
+    §2.5: per-row regex work over a single-row-group file runs serially
+    otherwise — same for every spread scan below)."""
+    d = spread(load(spark, sf, "documents"))
     txt = F.trim(F.col("text"))
     return d.select(
         "doc_id",
@@ -57,7 +59,7 @@ def token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 def quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Length / punctuation / stopword signals, integer-exact."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))
     t = F.col("text")
     n_punct = (
         F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
@@ -80,7 +82,8 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     # One spark.sql() call: the whole expression tree is built and analyzed
     # JVM-side (building it via Column operators paid seconds of py4j +
     # analysis overhead per session for zero runtime benefit).
-    load(spark, sf, "documents").createOrReplaceTempView("docs_langid")
+    spread(load(spark, sf, "documents")).createOrReplaceTempView(
+        "docs_langid")
     count_exprs = ", ".join(
         f"CAST((length(s) - length(replace(s, '{mk}', ''))) / {len(mk)} "
         f"AS BIGINT) AS n_{lang}"
@@ -278,7 +281,7 @@ def url_normalize(spark: SparkSession, sf: str) -> DataFrame:
 def fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: md5 + sha256 over whitespace-normalized text
     (rolling-hash analog in fixed-width form)."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return d.select(
         "doc_id",
@@ -298,7 +301,7 @@ def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     counts per distinct bigram in place is O(words²) per row: measured
     50s vs 2s on 500 synthetic docs, and it only worsens with document
     length).  One shuffle, keyed by doc_id — uniform."""
-    d = load(spark, sf, "documents")
+    d = spread(load(spark, sf, "documents"))
     return repetition_signals_df(d, id_col="doc_id")
 
 
@@ -417,7 +420,7 @@ def chunking(spark: SparkSession, sf: str) -> DataFrame:
     documents run 20-200 words, so most produce 1-4 overlapping chunks).
     Fully DuckDB-oracled: exact integer chunk-count math, deterministic
     token slicing on both engines."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    d = spread(load(spark, sf, "documents").select("doc_id", "text"))
     return chunk_docs(d)
 
 
@@ -467,7 +470,7 @@ def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """Driver query: plant deterministic PII (email, IP, phone — and a
     non-PII decoy that must survive) into each document, scrub, and emit
     counts + redacted text.  Fully DuckDB-oracled."""
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    d = spread(load(spark, sf, "documents").select("doc_id", "text"))
     i = F.col("doc_id").cast("string")
     planted = d.select(
         "doc_id",

@@ -21,6 +21,49 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the session's core budget when the source
+    cannot (guide §2.5 "input skew": one huge unsplittable file).
+
+    Parquet's split unit is the ROW GROUP: a table written as a single row
+    group scans as ONE task no matter how many cores the cluster has, and
+    every downstream per-row expression (regex scans, n-gram builds,
+    Arrow/Python stages) then runs serially on one core — measured 17.7 s
+    for passage dedup over a 50k-doc single-row-group table on 32 cores.
+    A round-robin repartition immediately after the read pays one small
+    shuffle of the narrow input rows and unlocks full parallelism for all
+    compute above it.
+
+    Scale-adaptive, never a local-mode constant: the target is the
+    session's `defaultParallelism` (total scheduler cores on any
+    deployment), and the repartition is SKIPPED when the scan already
+    yields at least half that many partitions — a production table with
+    hundreds of row groups passes the guard untouched, so this never adds
+    a shuffle at 100 TB scale.
+
+    The always-true nondeterministic guard above the Exchange is a
+    PUSHDOWN BARRIER, and it is the half that makes the fan-out stick:
+    Catalyst pushes deterministic predicates (a caller's eligibility
+    gate, or `IsNotNull` filters derived from later joins) through a
+    repartition down to the scan — which re-serializes exactly the
+    per-row work the Exchange exists to parallelize, and forks the scan
+    into per-branch variants that can no longer share one reused
+    Exchange (observed: the passage-dedup gram build planned THREE
+    separate scans of the same file).  Predicates cannot reorder across
+    a nondeterministic filter, so everything a caller adds stays above
+    the fan-out; the guard itself is one rand()+format per row.  (The
+    comparison goes through a string cast because Spark 4's optimizer
+    knows rand()'s value range and folds a bare `rand() > -1` guard
+    away — and with the guard gone, the pushdown comes back.)"""
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target).where(
+        F.rand(0).cast("string") != F.lit("x")
+    )
+
+
 # --- filters / projections -------------------------------------------------
 
 def f1_length_filter(spark: SparkSession, sf: str) -> DataFrame:

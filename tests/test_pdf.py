@@ -261,4 +261,6 @@ class TestPdfSparkQuery:
             extract_pdf_query(spark, "/root/testdata/sf0.001"), mode="simple"
         )
         assert plan.count("MapInPandas") == 1
-        assert "Exchange" not in plan  # narrow end-to-end
+        # round 6: exactly one Exchange is the `spread` fan-out of the
+        # single-row-group scan (guide §2.5) — nothing else may shuffle
+        assert plan.count("Exchange") <= 1

@@ -69,9 +69,14 @@ class TestPlanShape:
         from lightly_ocr_spark.operators.textstats import quality_score
 
         plan = plan_of(quality_score(spark, SF))
-        assert "codegen id" in plan  # whole-stage codegen covers the project
         assert "BatchEvalPython" not in plan   # no row-at-a-time Python
         assert "ArrowEvalPython" not in plan   # no Python at all here
+        # whole-stage codegen covers the projection (the AQE pre-execution
+        # dump stops annotating `codegen id` once the round-6 spread
+        # Exchange splits the plan into stages, so ask the codegen
+        # explain mode directly)
+        gen = plan_of(quality_score(spark, SF), mode="codegen")
+        assert "WholeStageCodegen" in gen
 
     def test_bucketed_join_is_shuffle_free(self, spark):
         """Two tables bucketed identically on url must equi-join with ZERO
