@@ -31,6 +31,7 @@ import re
 import unicodedata
 from bisect import bisect_right
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import pandas as pd
 
@@ -62,10 +63,14 @@ from lightly_ocr_spark.contract import (
 __all__ = ["Block", "Span", "ExtractResult", "tokenize_blocks", "extract_text", "extract_batch"]
 
 
-@dataclass(frozen=True)
-class Block:
+class Block(NamedTuple):
     """One visible text block (analog of one connected component's stats,
-    `det_utils.py:45`): normalized text, densities, canonical-coord bounds."""
+    `det_utils.py:45`): normalized text, densities, canonical-coord bounds.
+
+    NamedTuple, not a frozen dataclass: tokenize_blocks constructs one per
+    visible block (~19/page), and a frozen dataclass pays a Python-level
+    __init__ + object.__setattr__ per field where NamedTuple constructs at
+    C speed — measured ~4% of the whole extraction kernel."""
 
     text: str          # normalized single-line text (R3/R9 applied)
     words: int
@@ -151,7 +156,6 @@ def tokenize_blocks(canon: str) -> list[Block]:
     pos = 0
     np = len(parts)
     nonws_search = NONWS_RE.search
-    ws_sub = WS_RUN_RE.sub
     unescape = _html.unescape
     append_piece = pieces.append
     block_tags = BLOCK_TAGS
@@ -168,7 +172,9 @@ def tokenize_blocks(canon: str) -> list[Block]:
             else:
                 unescaped = unescape(run)
                 append_piece(unescaped)
-                nonws = len(ws_sub("", unescaped))
+                # non-ws char count: split()+len is ~2.4x the regex-sub
+                # count (same value: \s and str whitespace agree, tested)
+                nonws = sum(map(len, unescaped.split()))
                 total_chars += nonws
                 if link_depth > 0:
                     link_chars += nonws
@@ -215,7 +221,7 @@ def tokenize_blocks(canon: str) -> list[Block]:
         else:
             unescaped = unescape(run)
             append_piece(unescaped)
-            nonws = len(ws_sub("", unescaped))
+            nonws = sum(map(len, unescaped.split()))
             total_chars += nonws
             if link_depth > 0:
                 link_chars += nonws

@@ -22,7 +22,7 @@ operator is the corpus-level analog the webtext pipeline actually needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lightly_ocr_spark.plans.relational import load, spread
@@ -118,13 +118,24 @@ def nb_predict(
              + (N - seen_l) * log_unseen_l     (unseen-word mass)
 
     The model join is broadcast (|V|x|C| rows); the label cross join is
-    |C| rows per doc.  Ties break on label ASC for determinism."""
+    |C| rows per doc.  Ties break on label ASC for determinism.
+
+    Round-6 plan (guide §2.3/§2.4; docs are assumed unique per id, as
+    every caller guarantees): the per-doc token total comes straight
+    from size(words) on the input row — the former explode -> groupBy
+    -> sum computed the identical integer through a second corpus-wide
+    explode and shuffle; and the per-doc argmax is a min_by hash
+    aggregate over the (-score, label) ordering struct — the same
+    (score DESC, label ASC) winner the row_number window picked, minus
+    the window's per-doc sort."""
     toks = (
         docs.select(id_col, F.explode(_words(text_col)).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    doc_totals = toks.groupBy(id_col).agg(F.sum("n").alias("n_words"))
+    doc_totals = docs.select(
+        id_col, F.size(_words(text_col)).cast("long").alias("n_words")
+    )
     seen = (
         toks.join(F.broadcast(word_model), "word")
         .groupBy(id_col, "label")
@@ -146,17 +157,16 @@ def nb_predict(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("label").asc()
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("label"), F.col("score")),
+            F.struct((-F.col("score")).alias("s"), F.col("label").alias("l")),
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("label").alias("pred_label"),
-            F.round("score", 6).alias("score"),
-        )
+    return best.select(
+        F.col(id_col),
+        F.col("b.label").alias("pred_label"),
+        F.round("b.score", 6).alias("score"),
     )
 
 

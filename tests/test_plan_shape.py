@@ -36,6 +36,18 @@ class TestPlanShape:
 
         assert "BroadcastHashJoin" in plan_of(j1_broadcast_join(spark, SF))
 
+    def test_j1_switches_to_shuffled_hash_above_threshold(self, spark,
+                                                          monkeypatch):
+        """Guide §3.1: the strategy is picked by build-side size.  With
+        the broadcast threshold forced to 0 MB the same query must plan
+        a ShuffledHashJoin instead of a broadcast build."""
+        from lightly_ocr_spark.plans.relational import j1_broadcast_join
+
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MB", "0")
+        plan = plan_of(j1_broadcast_join(spark, SF))
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+
     def test_anti_and_semi_join_strategies(self, spark):
         from lightly_ocr_spark.plans.relational import j2_anti_join, j3_semi_join
 
