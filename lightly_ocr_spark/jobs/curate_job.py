@@ -569,8 +569,16 @@ def main() -> None:
                  "silently disable near-dedup)")
     if args.nb_drop and not args.nb_model:
         ap.error("--nb-drop requires --nb-model")
-    # the chunk/pack/shuffle dependency and budget checks live in
-    # run_curate (one copy of each rule, shared with API callers)
+    # thin CLI mirrors of run_curate's shared validation (one copy of
+    # each RULE lives there for API callers; re-checking here turns a
+    # bad flag combination into a clean argparse exit-code-2 usage error
+    # instead of a ValueError traceback)
+    if args.chunk is None and (args.pack is not None
+                               or args.shuffle_seed is not None):
+        ap.error("--pack/--shuffle-seed require --chunk: packing and the "
+                 "seeded shard shuffle run over the chunked output")
+    if args.pack is not None and args.pack < 1:
+        ap.error(f"--pack budget must be >= 1, got {args.pack}")
     pdd = None
     if args.passage_dedup:
         try:

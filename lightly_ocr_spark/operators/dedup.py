@@ -748,7 +748,20 @@ def write_fingerprint_index(
     task touches all 256 dirs (~48 tasks x 256 dirs = ~12k tiny files per
     batch) and the next batch's anti-join scan pays a growing
     many-thousand-file listing (measured: per-batch crawl wall drifted
-    12.8 -> 18.4s over four appends; flat after)."""
+    12.8 -> 18.4s over four appends; flat after).
+
+    Append mode first recovers any interrupted compaction swap (mirrors
+    `write_minhash_index`): a standalone append landing between the two
+    swap renames would otherwise recreate `<path>` and permanently
+    strand the `.replaced` backup, silently shrinking the fingerprint
+    corpus.  (In the crawl flow `incremental_exact_dedup` recovers first
+    in the same batch, which only masked the hazard.)"""
+    if mode == "append":
+        from lightly_ocr_spark.jobs.compact_job import (
+            recover_interrupted_swap,
+        )
+
+        recover_interrupted_swap(path)
     docs.select(
         F.sha2(F.col(text_col), 256).alias("fp"),
         F.col(id_col).alias("first_id"),

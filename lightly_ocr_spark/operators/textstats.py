@@ -109,7 +109,7 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 def budget_select_df(
     d: DataFrame, budget_tokens: int, group_col: str = "source",
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", shards: int = 8,
 ) -> DataFrame:
     """Per-group TOKEN-BUDGET selection — the data-budget step of an LLM
     corpus mix: admit documents per `group_col` (source/domain/language)
@@ -121,13 +121,34 @@ def budget_select_df(
     admitted subset is an unbiased sample of the group, stable under
     replay / cluster size / partitioning (the same property the
     hash-mod stratified sampler relies on), and portable, so the whole
-    selection is DuckDB-oracle-checkable.  Plan: one window per group
-    (running token sum); a zipf-hot group serializes its own window sort
-    only — for a group so large that matters, pre-filter with the
-    stratified sampler to ~budget-scale first (doc'd trade-off; the cap
-    math stays exact on whatever subset reaches this operator).
+    selection is DuckDB-oracle-checkable.
+
+    Round-6 plan: SHARDED two-phase windows (the `per_host_cap` pattern
+    — guide §2.5 skew), so a zipf-hot group never serializes its whole
+    running-sum sort into one task:
+
+    * phase 1 windows over (group, crc32-shard).  The shard-local
+      cumulative sum is a lower bound of the group cumulative sum in
+      the same order (it sums a subset of the same prefix), so any row
+      whose shard sum exceeds the budget is provably over budget and is
+      cut; each shard keeps at most ~budget worth of tokens.
+    * the group cumulative sum is MONOTONE along the order (token
+      counts are non-negative), so every row ordered at-or-after a
+      group's FIRST cut row is also provably over budget.  Phase 1
+      therefore also records, per group, the minimum (order, id) among
+      its cut rows.
+    * phase 2 runs the exact window over the bounded survivors only and
+      keeps rows under budget that order strictly BEFORE the group's
+      first cut — for exactly those rows every true predecessor is a
+      survivor, so the survivors-only running sum IS the group running
+      sum and the emitted cum_tokens is exact.
+
+    Identity with the single-window plan is asserted in tests at shard
+    counts {1, 3, 8, 64}; the DuckDB oracle stays the plain window SQL.
 
     Output: (id, group, n_tokens, cum_tokens) for admitted docs only."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
     txt = F.trim(F.col(text_col))
     n_tokens = (
         F.when(F.length(txt) == 0, F.lit(0))
@@ -137,17 +158,37 @@ def budget_select_df(
     order_key = F.md5(F.concat_ws(
         ":", F.col(group_col), F.col(id_col).cast("string")
     ))
-    w = (
+    base = d.select(
+        F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"),
+        order_key.alias("_ok"),
+    )
+    shard = F.crc32(F.col(id_col).cast("string")) % shards
+    w1 = (
+        Window.partitionBy(group_col, shard)
+        .orderBy(F.col("_ok"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = base.withColumn("_scum", F.sum("n_tokens").over(w1))
+    okey = F.struct(F.col("_ok"), F.col(id_col))
+    cuts = (
+        p1.filter(F.col("_scum") > budget_tokens)
+        .groupBy(group_col)
+        .agg(F.min(okey).alias("_first_cut"))
+    )
+    survivors = p1.filter(F.col("_scum") <= budget_tokens).drop("_scum")
+    w2 = (
         Window.partitionBy(group_col)
-        .orderBy(order_key, F.col(id_col))
+        .orderBy(F.col("_ok"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.select(
-            F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens")
+        survivors.join(cuts, group_col, "left")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w2))
+        .filter(
+            (F.col("cum_tokens") <= budget_tokens)
+            & (F.col("_first_cut").isNull() | (okey < F.col("_first_cut")))
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
 
 
@@ -323,9 +364,15 @@ def repetition_signals_df(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     # materialize the words array as its OWN projection: an inlined split
     # is re-evaluated by every interpreted lambda element (O(words^2) per
-    # doc — the `_tokens` lesson, measured 9x on the signature build)
-    d = d.select("*", lower_words().alias("_words"))
-    words = F.col("_words")
+    # doc — the `_tokens` lesson, measured 9x on the signature build).
+    # Probe for a free column name (the salted_join discipline): a caller
+    # frame that already carries `_words` would otherwise make the later
+    # F.col reference ambiguous at runtime.
+    wname = "_words"
+    while wname in d.columns:
+        wname += "_"
+    d = d.select("*", lower_words().alias(wname))
+    words = F.col(wname)
     n_words = F.size(words)
 
     def _run_step(acc, x):

@@ -716,6 +716,56 @@ class TestDriverContract:
                for r in budget_select_df(d, budget_tokens=200).collect()}
         assert small <= big and len(big) > len(small)
 
+    def test_budget_select_sharded_equals_single_window(self, spark):
+        """Round 6: the sharded two-phase plan must return EXACTLY the
+        single-window result at every shard count (the host-cap test
+        shape).  The reference is the plain per-group running-sum window
+        restated inline; the corpus includes a zipf-hot group, a group
+        that fits entirely under budget (no cut row), and zero-token
+        docs."""
+        from pyspark.sql import Window
+
+        from lightly_ocr_spark.operators.textstats import budget_select_df
+
+        rows = [(i, "hot", "tok " * (3 + i % 11)) for i in range(300)]
+        rows += [(1000 + i, "cold", "tok " * 4) for i in range(5)]
+        rows += [(2000 + i, "mixed", "" if i % 3 == 0 else "tok " * 9)
+                 for i in range(60)]
+        d = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+        txt = F.trim(F.col("text"))
+        n_tokens = (
+            F.when(F.length(txt) == 0, F.lit(0))
+            .otherwise(F.size(F.split(txt, r"\s+")))
+            .cast("long")
+        )
+        ok = F.md5(F.concat_ws(
+            ":", F.col("source"), F.col("doc_id").cast("string")
+        ))
+        w = (
+            Window.partitionBy("source")
+            .orderBy(ok, F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for budget in (50, 400):
+            expected = sorted(
+                tuple(r) for r in d.select(
+                    "doc_id", "source", n_tokens.alias("n_tokens")
+                )
+                .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+                .filter(F.col("cum_tokens") <= budget)
+                .collect()
+            )
+            for shards in (1, 3, 8, 64):
+                got = sorted(
+                    tuple(r) for r in budget_select_df(
+                        d, budget_tokens=budget, shards=shards
+                    ).collect()
+                )
+                assert got == expected, (budget, shards)
+
     def test_approx_aggregates_within_bounds(self, spark):
         """Sketches are engine-specific, so the gate is an accuracy bound
         vs exact, not an oracle hash."""
