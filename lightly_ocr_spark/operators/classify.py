@@ -143,7 +143,11 @@ def nb_predict(
     )
     doc_totals = docs.select(
         id_col, F.size(_words(text_col)).cast("long").alias("n_words")
-    )
+    ).filter(F.col("n_words") > 0)
+    # the zero-word filter preserves the exploded form's semantics
+    # exactly: a doc with no tokens produced no (doc, word) rows, hence
+    # no doc_totals row, hence NO output row — caught by the randomized
+    # oracle fuzz when this was first rewritten without the filter
     seen = (
         toks.join(F.broadcast(word_model), "word")
         .groupBy(id_col, "label")
