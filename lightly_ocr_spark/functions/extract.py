@@ -54,7 +54,6 @@ from lightly_ocr_spark.contract import (
     TAU_TEXT,
     TRANSLATE_MAP,
     WORD_CAP,
-    WS_RUN_RE,
     canonicalize_newlines,
     decode_page_bytes,
     segment_score,
